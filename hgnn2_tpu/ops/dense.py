@@ -1,0 +1,160 @@
+"""Dense-block batched graph operators (the MXU path).
+
+Replaces the reference's hot op ``graph_op`` (/root/reference/functions/
+utils.py:24 — a Python double loop of bs x J torch.mm calls) and ``Pmul``
+(:55) with single batched einsums over the whole padded batch: one
+``jnp.einsum('bjnm,bmf->bnjf', ...)`` drives the entire multi-operator
+apply through the MXU, and XLA fuses the scale/concat elementwise work.
+
+The line-graph (edge-dual) operators never materialize the M x M
+non-backtracking matrix: with directed edges e = (u -> v) and rev(e) the
+opposite edge,
+
+    (AL @ XL)[e] = Y[dst(e)] - w(rev(e)) * XL[rev(e)],
+    Y[n] = sum_{e': src(e') = n} w(e') XL[e']
+
+which is two small einsums against {0,1} scatter/gather matrices built
+from src/dst — exactly the reference's NB operator semantics
+(operators.py:68-71) with the edge-overwrite bug fixed by construction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def adjacency_powers(adj: jnp.ndarray, J: int) -> jnp.ndarray:
+    """(B, N, N) -> (B, J, N, N) stack [A, A^2, A^4, ...] by repeated squaring.
+
+    Matches reference operators.py:26-29 (slot j+2 = A^(2^(j-1))).
+    """
+    powers = [adj]
+    C = adj
+    for _ in range(1, J):
+        C = jnp.einsum("bnk,bkm->bnm", C, C, preferred_element_type=jnp.float32)
+        powers.append(C)
+    return jnp.stack(powers, axis=1)
+
+
+def degrees(adj: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, N) -> (B, N) weighted degrees."""
+    return adj.sum(axis=2)
+
+
+def graph_op(adj_powers: jnp.ndarray, deg: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Fused multi-operator apply: [I, diag(d), A, A^2, ...] against X.
+
+    adj_powers: (B, J, N, N), deg: (B, N), x: (B, N, F)
+    Returns (B, N, (J+2)*F) with feature blocks ordered [X | d*X | A X | ...],
+    the same block order as reference graph_op (functions/utils.py:42-50).
+    """
+    B, N, F = x.shape
+    ax = jnp.einsum("bjnm,bmf->bnjf", adj_powers, x, preferred_element_type=jnp.float32)
+    blocks = jnp.concatenate(
+        [x[:, :, None, :], (deg[:, :, None] * x)[:, :, None, :], ax], axis=2
+    )
+    return blocks.reshape(B, N, -1)
+
+
+# ---------------------------------------------------------------------------
+# Line-graph operators from (src, dst, w, rev) edge arrays.
+# ---------------------------------------------------------------------------
+
+
+def edge_scatter_matrices(
+    src: jnp.ndarray, dst: jnp.ndarray, edge_mask: jnp.ndarray, n_nodes: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One-hot scatter matrices S_src, S_dst of shape (B, N, M).
+
+    S_src[b, n, e] = 1 iff src[b, e] == n and edge e is real.  These turn
+    every scatter/gather between nodes and edges into an MXU matmul.
+    """
+    n_ids = jnp.arange(n_nodes, dtype=src.dtype)[None, :, None]
+    s_src = (src[:, None, :] == n_ids).astype(jnp.float32) * edge_mask[:, None, :]
+    s_dst = (dst[:, None, :] == n_ids).astype(jnp.float32) * edge_mask[:, None, :]
+    return s_src, s_dst
+
+
+def edge_to_node(s: jnp.ndarray, xl: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, M) x (B, M, F) -> (B, N, F) scatter-sum."""
+    return jnp.einsum("bnm,bmf->bnf", s, xl, preferred_element_type=jnp.float32)
+
+
+def node_to_edge(s: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, M) x (B, N, F) -> (B, M, F) gather."""
+    return jnp.einsum("bnm,bnf->bmf", s, x, preferred_element_type=jnp.float32)
+
+
+def incidence_apply(s_src, s_dst, xl: jnp.ndarray, signed: bool) -> jnp.ndarray:
+    """Pm @ XL (signed=False) or Pd @ XL (signed=True): (B, M, F) -> (B, N, F).
+
+    Pm[u, e] = Pm[v, e] = 1 and Pd[src, e] = +1, Pd[dst, e] = -1 for
+    e = (u -> v) (reference operators.py:52-63).
+    """
+    a = edge_to_node(s_src, xl)
+    b = edge_to_node(s_dst, xl)
+    return a - b if signed else a + b
+
+
+def incidence_t_apply(s_src, s_dst, x: jnp.ndarray, signed: bool) -> jnp.ndarray:
+    """Pm^T @ X or Pd^T @ X: (B, N, F) -> (B, M, F)."""
+    a = node_to_edge(s_src, x)
+    b = node_to_edge(s_dst, x)
+    return a - b if signed else a + b
+
+
+def nb_apply(
+    s_src: jnp.ndarray,
+    s_dst: jnp.ndarray,
+    w: jnp.ndarray,
+    rev: jnp.ndarray,
+    xl: jnp.ndarray,
+) -> jnp.ndarray:
+    """Non-backtracking operator apply (AL @ XL) without materializing AL.
+
+    w: (B, M), rev: (B, M), xl: (B, M, F). Returns (B, M, F).
+    """
+    y = edge_to_node(s_src, w[:, :, None] * xl)  # (B, N, F)
+    cont = node_to_edge(s_dst, y)  # Y[dst(e)]
+    w_rev = jnp.take_along_axis(w, rev, axis=1)
+    xl_rev = jnp.take_along_axis(xl, rev[:, :, None], axis=1)
+    return cont - w_rev[:, :, None] * xl_rev
+
+
+def nb_degrees(s_src, s_dst, w: jnp.ndarray, rev: jnp.ndarray) -> jnp.ndarray:
+    """NB line-graph degrees dl[e] = sum_m2 AL[e, m2] (B, M)."""
+    ones = jnp.ones(w.shape + (1,), w.dtype)
+    return nb_apply(s_src, s_dst, w, rev, ones)[..., 0]
+
+
+def lg_graph_op(
+    s_src, s_dst, w, rev, dl: jnp.ndarray, xl: jnp.ndarray, J: int
+) -> jnp.ndarray:
+    """Line-graph multi-operator apply [I, diag(dL), AL, AL^2, ...] @ XL.
+
+    AL^(2^(j-1)) is applied by repeated application (2^(j-1) times) rather
+    than materializing powers. Returns (B, M, (J+2)*F), block order
+    [XL | dL*XL | AL XL | AL^2 XL | ...].
+    """
+    B, M, F = xl.shape
+    blocks = [xl, dl[:, :, None] * xl]
+    cur = xl
+    applied = 0
+    for j in range(J):
+        target = 2**j  # slot j+2 is AL^(2^(j-1)) for j>=1; slot 2 is AL^1
+        while applied < target:
+            cur = nb_apply(s_src, s_dst, w, rev, cur)
+            applied += 1
+        blocks.append(cur)
+    return jnp.concatenate(blocks, axis=2)
+
+
+# Reference-oracle helpers (materialized operators) used by tests.
+
+
+def graph_op_materialized(W: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply a dense (B, N, N, J) operator stack: oracle for graph_op."""
+    B, N, _, J = W.shape
+    out = jnp.einsum("bnmj,bmf->bnjf", W, x, preferred_element_type=jnp.float32)
+    return out.reshape(B, N, -1)
