@@ -1,0 +1,224 @@
+"""Covariant compositional networks (CCN-1D / CCN-2D), batched for TPU.
+
+Re-designs reference models/compnets/model_ccn.py (CCN_1D:18, CCN_2D:68)
+and the per-vertex Python machinery of functions/utils_ccn.py as one
+degree-padded tensor program over every vertex of every graph in a batch:
+
+  * per-vertex ragged states F_i of shape (d_i, ch) / (d_i, d_i, ch)
+    become (V, K, ch) / (V, K, K, ch) with K = padded receptive-field size
+    and a row mask;
+  * the chi matrices for every (vertex, neighbor) pair are precomputed on
+    the host into a (V, K, K, K) one-hot tensor (ccn batch builder below),
+    so promotion is a batched einsum;
+  * the 18 contractions are the fused closed forms of
+    ops/contractions.contract_18 (chi_ii == identity).
+
+The reference trains CCN per molecule (scripts/train_ccn.py:31, bs=1); here
+thousands of vertices advance together per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from hgnn2_tpu.graphs import GraphRecord
+from hgnn2_tpu.nn.layers import ref_init
+from hgnn2_tpu.ops import contractions, sparse
+
+
+# ---------------------------------------------------------------------------
+# Batched CCN container + host-side builder.
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class CCNBatch:
+    """All vertices of a batch of graphs, flattened and degree-padded.
+
+    x:        (V, F) raw node features
+    nbr:      (V, K) int32 global vertex index of each neighbor (self-loop
+              included when add_self_loops; padding slots point at 0 but
+              carry all-zero chi so they contribute nothing)
+    chi:      (V, K, K, K) float32 — chi[v,k,a,b] = 1 iff
+              nbrs[v][a] == nbrs[nbr[v,k]][b]  (reference _get_chi,
+              utils_ccn.py:66-106, vectorized)
+    deg:      (V,) float32 true receptive-field size d_v
+    row_mask: (V, K) 1.0 where slot < d_v
+    vmask:    (V,) 1.0 for real vertices
+    gid:      (V,) int32 graph id (padding rows -> n_graphs)
+    y:        (B,) targets
+    """
+
+    x: jnp.ndarray
+    nbr: jnp.ndarray
+    chi: jnp.ndarray
+    deg: jnp.ndarray
+    row_mask: jnp.ndarray
+    vmask: jnp.ndarray
+    gid: jnp.ndarray
+    y: jnp.ndarray
+    n_graphs: int = struct.field(pytree_node=False, default=0)
+
+
+def make_ccn_batch(
+    records: Sequence[GraphRecord],
+    k_max: int | None = None,
+    vertex_capacity: int | None = None,
+    add_self_loops: bool = True,
+    task: int | None = None,
+) -> CCNBatch:
+    """Builds the batched chi/neighbor tables on the host (numpy).
+
+    add_self_loops mirrors the reference train loop's A <- A + I
+    (scripts/train_ccn.py:36) which guarantees chi_ii exists.
+    """
+    B = len(records)
+    nbr_lists: list[list[np.ndarray]] = []
+    for r in records:
+        A = np.asarray(r.adj)
+        if add_self_loops:
+            A = A + np.eye(A.shape[0], dtype=A.dtype)
+        # neighbor lists in ascending index order (reference torch.nonzero)
+        nbr_lists.append([np.nonzero(A[i] > 0)[0] for i in range(A.shape[0])])
+
+    tot_v = sum(r.n_nodes for r in records)
+    V = vertex_capacity or tot_v
+    if tot_v > V:
+        raise ValueError(f"vertex capacity too small: {tot_v} > {V}")
+    max_deg = max(len(l) for ls in nbr_lists for l in ls)
+    K = k_max or max_deg
+    if max_deg > K:
+        raise ValueError(f"max receptive-field size {max_deg} exceeds k_max={K}")
+
+    F = records[0].x.shape[1]
+    x = np.zeros((V, F), dtype=np.float32)
+    nbr = np.zeros((V, K), dtype=np.int32)
+    chi = np.zeros((V, K, K, K), dtype=np.float32)
+    deg = np.zeros((V,), dtype=np.float32)
+    row_mask = np.zeros((V, K), dtype=np.float32)
+    vmask = np.zeros((V,), dtype=np.float32)
+    gid = np.full((V,), B, dtype=np.int32)
+
+    off = 0
+    ys = []
+    for g, (r, lists) in enumerate(zip(records, nbr_lists)):
+        n = r.n_nodes
+        x[off : off + n] = r.x
+        gid[off : off + n] = g
+        vmask[off : off + n] = 1.0
+        for i, li in enumerate(lists):
+            d = len(li)
+            if d > K:
+                raise ValueError(f"degree {d} exceeds K={K}")
+            v = off + i
+            deg[v] = d
+            row_mask[v, :d] = 1.0
+            nbr[v, :d] = li + off
+            for k, j in enumerate(li):
+                lj = lists[j]
+                # chi[a, b] = 1 iff li[a] == lj[b]
+                eq = li[:, None] == lj[None, :]
+                chi[v, k, :d, : len(lj)] = eq.astype(np.float32)
+        off += n
+        ys.append(r.y if task is None else r.y[task])
+    y = np.stack([np.asarray(t) for t in ys], axis=0)
+    if not np.issubdtype(y.dtype, np.integer):
+        y = y.astype(np.float32)
+    return CCNBatch(
+        x=jnp.asarray(x),
+        nbr=jnp.asarray(nbr),
+        chi=jnp.asarray(chi),
+        deg=jnp.asarray(deg),
+        row_mask=jnp.asarray(row_mask),
+        vmask=jnp.asarray(vmask),
+        gid=jnp.asarray(gid),
+        y=jnp.asarray(y),
+        n_graphs=B,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Models.
+# ---------------------------------------------------------------------------
+
+
+class CCN1D(nn.Module):
+    """First-order CCN (reference CCN_1D, model_ccn.py:18-64).
+
+    Per layer: promote neighbor states through chi, contract (row/col sums,
+    2 contractions), shared Linear + ReLU. Readout concatenates per-layer
+    summed states [input_feats + layers * hidden] -> Linear.
+    """
+
+    hidden: int = 2
+    n_layers: int = 2
+    dim_output: int = 1
+
+    @nn.compact
+    def __call__(self, cb: CCNBatch, train: bool = True) -> jnp.ndarray:
+        # F0: x broadcast over the receptive field (reference get_F0_1D:212-216)
+        f = cb.x[:, None, :] * cb.row_mask[:, :, None]  # (V, K, F)
+        layer_sums = [self._readout(f, cb)]
+        for i in range(self.n_layers):
+            t = contractions.promote_1d(cb.chi, cb.nbr, f)
+            z = contractions.contract_1d(t)  # (V, K, 2C)
+            z = nn.Dense(
+                self.hidden, kernel_init=ref_init(), bias_init=ref_init(),
+                name=f"w{i+1}",
+            )(z)
+            f = nn.relu(z) * cb.row_mask[:, :, None]
+            layer_sums.append(self._readout(f, cb))
+        feat = jnp.concatenate(layer_sums, axis=-1)
+        return nn.Dense(
+            self.dim_output, kernel_init=ref_init(), bias_init=ref_init(), name="fc"
+        )(feat)
+
+    def _readout(self, f: jnp.ndarray, cb: CCNBatch) -> jnp.ndarray:
+        per_vertex = f.sum(axis=1) * cb.vmask[:, None]
+        return sparse.graph_readout(per_vertex, cb.gid, cb.n_graphs)
+
+
+class CCN2D(nn.Module):
+    """Second-order CCN (reference CCN_2D, model_ccn.py:68-105).
+
+    Per layer: 2D promotion chi F chi^T, the fused 18 contractions, shared
+    Linear + ReLU. compat_contractions reproduces the reference's
+    duplicated contraction channels (contraction.py:70-81).
+    """
+
+    hidden: int = 2
+    n_layers: int = 2
+    dim_output: int = 1
+    compat_contractions: bool = False
+
+    @nn.compact
+    def __call__(self, cb: CCNBatch, train: bool = True) -> jnp.ndarray:
+        mask2 = cb.row_mask[:, :, None] * cb.row_mask[:, None, :]  # (V, K, K)
+        f = cb.x[:, None, None, :] * mask2[..., None]  # (V, K, K, F)
+        layer_sums = [self._readout(f, cb)]
+        for i in range(self.n_layers):
+            t = contractions.promote_2d(cb.chi, cb.nbr, f)
+            z = contractions.contract_18(
+                t, cb.deg, cb.row_mask, compat=self.compat_contractions
+            )  # (V, K, K, 18C)
+            z = nn.Dense(
+                self.hidden, kernel_init=ref_init(), bias_init=ref_init(),
+                name=f"w{i+1}",
+            )(z)
+            f = nn.relu(z) * mask2[..., None]
+            layer_sums.append(self._readout(f, cb))
+        feat = jnp.concatenate(layer_sums, axis=-1)
+        return nn.Dense(
+            self.dim_output, kernel_init=ref_init(), bias_init=ref_init(), name="fc"
+        )(feat)
+
+    def _readout(self, f: jnp.ndarray, cb: CCNBatch) -> jnp.ndarray:
+        per_vertex = f.sum(axis=(1, 2)) * cb.vmask[:, None]
+        return sparse.graph_readout(per_vertex, cb.gid, cb.n_graphs)

@@ -1,0 +1,82 @@
+"""GNN models: the power GNN and the line-graph (edge-dual) GNN.
+
+Re-designs reference models/gnns/model_mnb.py (GNN_simple:19, GNN_lg:69)
+over the operator-bundle interface: the stack is layer0 (input featuremap)
++ (n_layers - 2) middle layers + a readout, with hidden widths
+[in -> h], [2h -> h], [2h -> out] exactly as the reference builds its
+featuremaps (model_mnb.py:48-50, :98-100).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hgnn2_tpu.nn import layers
+from hgnn2_tpu.nn.bundles import DenseBundle, MaterializedBundle
+from hgnn2_tpu.nn.layers import CompatConfig
+
+
+class GNNSimple(nn.Module):
+    """Power GNN over the operator stack {I, D, A, A^2, ...}.
+
+    Args mirror the reference GNN_simple(task, n_features, n_layers,
+    dim_input, dim_output, J, gru) minus task (loss-side concern here).
+    """
+
+    n_features: int
+    n_layers: int
+    dim_output: int = 1
+    J: int = 1
+    compat: CompatConfig = CompatConfig()
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True, bundle=None) -> jnp.ndarray:
+        if bundle is None:
+            bundle = DenseBundle.from_batch(batch, self.J)
+        x, mask = batch.x, batch.node_mask
+        x = layers.PowerLayer(self.n_features, self.compat, name="layer0")(
+            bundle, x, mask, train
+        )
+        for i in range(self.n_layers - 2):
+            x = layers.PowerLayer(self.n_features, self.compat, name=f"layer{i+1}")(
+                bundle, x, mask, train
+            )
+        return layers.ReadoutLayer(self.dim_output, self.compat, name="layerlast")(
+            bundle, x, mask, train
+        )
+
+
+class GNNLineGraph(nn.Module):
+    """GNN on the graph + its non-backtracking line graph (reference GNN_lg).
+
+    order selects the node/edge update schedule (1: node first, 2: edge
+    first, 3: simultaneous), cf. model_mnb.py:102-119.
+    """
+
+    n_features: int
+    n_layers: int
+    dim_output: int = 1
+    J: int = 1
+    order: int = 1
+    compat: CompatConfig = CompatConfig()
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True, bundle=None) -> jnp.ndarray:
+        if bundle is None:
+            bundle = DenseBundle.from_batch(batch, self.J, with_line_graph=True)
+        x, mask = batch.x, batch.node_mask
+        edge_mask = batch.edge_mask if batch.edge_mask is not None else None
+        if edge_mask is None:
+            edge_mask = jnp.ones(bundle.w.shape, x.dtype)
+        xl = bundle.edge_features()
+        x, xl = layers.LGLayer(
+            self.n_features, self.order, self.compat, name="layer0"
+        )(bundle, x, xl, mask, edge_mask, train)
+        for i in range(self.n_layers - 2):
+            x, xl = layers.LGLayer(
+                self.n_features, self.order, self.compat, name=f"layer{i+1}"
+            )(bundle, x, xl, mask, edge_mask, train)
+        return layers.LGReadoutLayer(self.dim_output, self.compat, name="layerlast")(
+            bundle, x, xl, mask, train
+        )

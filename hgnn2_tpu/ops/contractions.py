@@ -1,0 +1,148 @@
+"""CCN promotion and the 18 permutation-covariant tensor contractions.
+
+Re-designs the reference CCN math engine (/root/reference/functions/
+utils_ccn.py CompnetUtils:28 and functions/contraction.py collapse6to3:106)
+as batched, degree-padded einsums over all vertices of all graphs at once.
+
+Key algebraic fusion: the reference forms the 6-D tensor
+H[q, k, a, b, y1, y2] = T[k, a, b, q] * chi_ii[y1, y2] and then applies 18
+collapse patterns (contraction.py:44-103). But chi_ii — the chi matrix of a
+vertex with itself — is ALWAYS the d x d identity (utils_ccn.py:66-82
+compares a neighbor list with itself), so every one of the 18 contractions
+reduces to an O(d^2) reduction of the promotion tensor T. We never build
+the 6-D tensor; tests/test_ccn.py verifies each closed form against a
+literal 6-D oracle and against the reference torch code.
+
+Notation: per vertex v of padded degree slots K and true degree d = deg[v],
+T[v, k, a, b, c] is the stacked promotion tensor (k = neighbor slot,
+(a, b) = receptive-field indices, c = channel). With n = d and delta the
+Kronecker delta on [0, d), the 18 channels (reference ordering, channel
+blocks of size C each) are:
+
+  group 111 (fix two, sum three — contraction.py:44):
+    c1[k,a]   = n * sum_b T[k,a,b]
+    c2[k,y]   = sum_{a,b} T[k,a,b]          (broadcast over y < d)
+    c3[a,b]   = n * sum_k T[k,a,b]
+    c4[a,y]   = sum_{k,b} T[k,a,b]          (broadcast)
+    c5[y,y']  = delta * sum_{k,a,b} T
+  group 12 (contract a diagonal pair, sum one — contraction.py:64):
+    c6[k,a]   = sum_b T[k,a,b]
+    c7[k,a]   = n * sum_b T[k,a,b]          (== c1: contracting (y1,y2)
+                                             against delta gives n)
+    c8[k,y]   = sum_a T[k,a,a]              (broadcast)
+    c9[k,y]   = sum_b T[k,y,b]              (== c6 as a function)
+    c10[a,b]  = sum_k T[k,a,b]
+    c11[a,y]  = sum_k T[k,a,k]              (broadcast)
+    c12[a,y]  = sum_b T[y,a,b]
+    c13[a,y]  = sum_k T[k,a,y]              (== c10 as a function)
+    c14[y,y'] = delta * sum_{k,b} T[k,k,b]
+    c15[y,y'] = delta * sum_{k,a} T[k,a,a]
+  group 3 (three-way diagonal — contraction.py:88):
+    c16[k,y]  = T[k,y,y]
+    c17[a,y]  = T[y,a,y]
+    c18[y,y'] = delta * sum_x T[x,x,x]
+
+Compat mode: the reference's _c6to2_12 uses the identity permutation for 9
+of its 10 cases (contraction.py:70-81), which evaluates to c1; compat
+reproduces that channel layout [c1..c5, c6, c1 x 9, c16..c18] exactly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def promote_1d(chi: jnp.ndarray, nbr: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+    """1D promotion: T[v,k] = chi[v,k] @ F[nbr[v,k]].
+
+    chi: (V, K, K, K) with chi[v,k,a,b] = 1 iff nbrs[v][a] == nbrs[j][b]
+    for j = nbr[v,k]; f: (V, K, C). Returns (V, K, K, C).
+    Invalid slots have all-zero chi so they contribute nothing.
+    """
+    fn = f[nbr]  # (V, K, K, C)
+    return jnp.einsum("vkab,vkbc->vkac", chi, fn, preferred_element_type=jnp.float32)
+
+
+def promote_2d(chi: jnp.ndarray, nbr: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+    """2D promotion: T[v,k] = chi[v,k] @ F[nbr[v,k]] @ chi[v,k]^T.
+
+    f: (V, K, K, C). Returns (V, K, K, K, C) indexed [v, k, a, b, c].
+    Matches reference _promote (utils_ccn.py:225-239).
+    """
+    fn = f[nbr]  # (V, K, K, K, C)
+    tmp = jnp.einsum("vkap,vkpqc->vkaqc", chi, fn, preferred_element_type=jnp.float32)
+    return jnp.einsum("vkaqc,vkbq->vkabc", tmp, chi, preferred_element_type=jnp.float32)
+
+
+def contract_1d(t: jnp.ndarray) -> jnp.ndarray:
+    """CCN-1D collapse: concat(row-sum over k, sum over a) -> (V, K, 2C).
+
+    Matches reference update_F_1D (utils_ccn.py:313-315): row_contract =
+    T.sum(neighbors), col_contract = T.sum(rows); both are length-d vectors
+    per vertex and are concatenated on the channel axis.
+    """
+    row = t.sum(axis=1)  # (V, K, C) indexed by a
+    col = t.sum(axis=2)  # (V, K, C) indexed by k
+    return jnp.concatenate([row, col], axis=-1)
+
+
+def contract_18(
+    t: jnp.ndarray, deg: jnp.ndarray, row_mask: jnp.ndarray, compat: bool = False
+) -> jnp.ndarray:
+    """The 18 contractions of T (x) chi_ii, fused. -> (V, K, K, 18C).
+
+    t: (V, K, K, K, C) promotion tensor; deg: (V,) true degrees; row_mask:
+    (V, K) 1.0 where slot < deg. compat reproduces the reference's
+    duplicated-permutation channel layout (contraction.py:70-81).
+    """
+    V, K = t.shape[0], t.shape[1]
+    n = deg.astype(t.dtype)[:, None, None, None]  # (V,1,1,1)
+    m = row_mask.astype(t.dtype)  # (V, K)
+    # broadcast helpers: out[v, i, y, c] = val[v, i, c] for y < d
+    def bcast(val):  # (V, K, C) -> (V, K, K, C) over a new trailing axis y
+        return val[:, :, None, :] * m[:, None, :, None]
+
+    eye = jnp.eye(K, dtype=t.dtype)[None, :, :, None]  # (1, K, K, 1)
+
+    def diag_embed(val):  # (V, C) -> (V, K, K, C) delta * val, masked
+        return eye * val[:, None, None, :] * m[:, :, None, None]
+
+    rb = t.sum(axis=3)  # (V, K, K, C): sum_b T[k,a,b]
+    sk = t.sum(axis=1)  # (V, K, K, C): sum_k T[k,a,b] -> [a,b]
+    sab = rb.sum(axis=2)  # (V, K, C): sum_{a,b} T[k,a,b] -> [k]
+    skb = rb.sum(axis=1)  # (V, K, C): sum_{k,b} -> [a]
+    tot = sab.sum(axis=1)  # (V, C)
+    diag_aa = jnp.einsum("vkaac->vkac", t.reshape(V, K, K, K, -1))  # T[k,a,a]
+    tr_ab = diag_aa.sum(axis=2)  # (V, K, C): sum_a T[k,a,a]
+    diag_kb = jnp.einsum("vkkbc->vkbc", t.reshape(V, K, K, K, -1))  # T[k,k,b]
+    sum_kkb = diag_kb.sum(axis=(1, 2))  # (V, C)
+    t_kak = jnp.einsum("vkakc->vakc", t.reshape(V, K, K, K, -1))  # T[k,a,k]->[a,k]
+    c11_val = t_kak.sum(axis=2)  # (V, K, C): sum_k T[k,a,k] -> [a]
+    t_xxx = jnp.einsum("vxxxc->vxc", t.reshape(V, K, K, K, -1)).sum(axis=1)  # (V,C)
+
+    c1 = n * rb
+    c2 = bcast(sab)
+    c3 = n * sk
+    c4 = bcast(skb)
+    c5 = diag_embed(tot)
+    c6 = rb
+    c16 = diag_aa  # [k, y] = T[k,y,y]
+    c17 = t_kak  # [a, y] = T[y,a,y]
+    c18 = diag_embed(t_xxx)
+
+    if compat:
+        mid = [c6] + [c1] * 9
+    else:
+        c7 = c1
+        c8 = bcast(tr_ab)
+        c9 = c6
+        c10 = sk
+        c11 = bcast(c11_val)
+        c12 = jnp.swapaxes(rb, 1, 2)  # [a, y] = sum_b T[y,a,b]
+        c13 = sk
+        c14 = diag_embed(sum_kkb)
+        c15 = diag_embed(tr_ab.sum(axis=1))
+        mid = [c6, c7, c8, c9, c10, c11, c12, c13, c14, c15]
+
+    chans = [c1, c2, c3, c4, c5] + mid + [c16, c17, c18]
+    return jnp.concatenate(chans, axis=-1)

@@ -42,17 +42,27 @@ def degrees(adj: jnp.ndarray) -> jnp.ndarray:
     return adj.sum(axis=2)
 
 
-def graph_op(adj_powers: jnp.ndarray, deg: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+def graph_op(
+    adj_powers: jnp.ndarray,
+    deg: jnp.ndarray,
+    x: jnp.ndarray,
+    node_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Fused multi-operator apply: [I, diag(d), A, A^2, ...] against X.
 
     adj_powers: (B, J, N, N), deg: (B, N), x: (B, N, F)
     Returns (B, N, (J+2)*F) with feature blocks ordered [X | d*X | A X | ...],
     the same block order as reference graph_op (functions/utils.py:42-50).
+
+    node_mask zeroes padded rows of the identity block — the padded
+    identity operator is eye(N_i) extended with zero rows, i.e. diag(mask),
+    which matters when upstream activations are nonzero at padded nodes.
     """
     B, N, F = x.shape
+    ident = x if node_mask is None else x * node_mask[:, :, None]
     ax = jnp.einsum("bjnm,bmf->bnjf", adj_powers, x, preferred_element_type=jnp.float32)
     blocks = jnp.concatenate(
-        [x[:, :, None, :], (deg[:, :, None] * x)[:, :, None, :], ax], axis=2
+        [ident[:, :, None, :], (deg[:, :, None] * x)[:, :, None, :], ax], axis=2
     )
     return blocks.reshape(B, N, -1)
 
@@ -129,16 +139,19 @@ def nb_degrees(s_src, s_dst, w: jnp.ndarray, rev: jnp.ndarray) -> jnp.ndarray:
 
 
 def lg_graph_op(
-    s_src, s_dst, w, rev, dl: jnp.ndarray, xl: jnp.ndarray, J: int
+    s_src, s_dst, w, rev, dl: jnp.ndarray, xl: jnp.ndarray, J: int,
+    edge_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Line-graph multi-operator apply [I, diag(dL), AL, AL^2, ...] @ XL.
 
     AL^(2^(j-1)) is applied by repeated application (2^(j-1) times) rather
     than materializing powers. Returns (B, M, (J+2)*F), block order
-    [XL | dL*XL | AL XL | AL^2 XL | ...].
+    [XL | dL*XL | AL XL | AL^2 XL | ...]. edge_mask zeroes padded rows of
+    the identity block (the padded identity operator is diag(mask)).
     """
     B, M, F = xl.shape
-    blocks = [xl, dl[:, :, None] * xl]
+    ident = xl if edge_mask is None else xl * edge_mask[:, :, None]
+    blocks = [ident, dl[:, :, None] * xl]
     cur = xl
     applied = 0
     for j in range(J):

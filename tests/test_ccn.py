@@ -1,0 +1,220 @@
+"""CCN tests: fused 18-contraction closed forms vs a literal 6-D oracle,
+plus full-model forward parity against the reference torch CCN-1D/2D."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hgnn2_tpu import graphs
+from hgnn2_tpu.nn import ccn
+from hgnn2_tpu.ops import contractions
+from tests.conftest import random_adjacency
+
+
+# ---------------------------------------------------------------------------
+# Literal 6-D oracle for the *intended* 18 contractions.
+# Axes of H: (k, a, b, y1, y2, c); specs (keep pair, delta-pair or
+# delta-triple) read off the reference's comments (contraction.py:51-99).
+# ---------------------------------------------------------------------------
+
+SPECS_111 = [(0, 1), (0, 3), (1, 2), (1, 3), (3, 4)]
+SPECS_12 = [
+    ((0, 1), (2, 3)),
+    ((0, 1), (3, 4)),
+    ((0, 3), (1, 2)),
+    ((0, 3), (1, 4)),
+    ((1, 2), (0, 3)),
+    ((1, 3), (0, 2)),
+    ((1, 3), (0, 4)),
+    ((1, 3), (2, 4)),
+    ((3, 4), (0, 1)),
+    ((3, 4), (1, 2)),
+]
+SPECS_3 = [((0, 3), (1, 2, 4)), ((1, 3), (0, 2, 4)), ((3, 4), (0, 1, 2))]
+
+
+def oracle_contract18(T, d):
+    """T: (d, d, d, C) one vertex's promotion tensor. Literal 6-D build."""
+    C = T.shape[-1]
+    H = np.zeros((d, d, d, d, d, C), dtype=np.float64)
+    eye = np.eye(d)
+    H = T[:, :, :, None, None, :] * eye[None, None, None, :, :, None]
+
+    def collapse(H6, keep, pair=None, triple=None):
+        mask = np.ones((d, d, d, d, d), dtype=np.float64)
+        if pair is not None:
+            i, j = pair
+            grid = np.indices((d, d, d, d, d))
+            mask = (grid[i] == grid[j]).astype(np.float64)
+        if triple is not None:
+            i, j, k = triple
+            grid = np.indices((d, d, d, d, d))
+            mask = ((grid[i] == grid[j]) & (grid[j] == grid[k])).astype(np.float64)
+        Hm = H6 * mask[..., None]
+        sum_axes = tuple(ax for ax in range(5) if ax not in keep)
+        out = Hm.sum(axis=sum_axes)
+        if keep[0] > keep[1]:
+            out = out.transpose(1, 0, 2)
+        return out
+
+    outs = [collapse(H, kp) for kp in SPECS_111]
+    outs += [collapse(H, kp, pair=pr) for kp, pr in SPECS_12]
+    outs += [collapse(H, kp, triple=tr) for kp, tr in SPECS_3]
+    return np.concatenate(outs, axis=2)
+
+
+@pytest.mark.parametrize("d,C", [(2, 1), (3, 2), (5, 2)])
+def test_contract18_matches_6d_oracle(rng, d, C):
+    T = rng.standard_normal((d, d, d, C)).astype(np.float32)
+    oracle = oracle_contract18(T.astype(np.float64), d)
+
+    t = jnp.asarray(T)[None]  # (1, d, d, d, C) == (V=1, K=d, ...)
+    deg = jnp.asarray([float(d)])
+    row_mask = jnp.ones((1, d))
+    ours = np.asarray(contractions.contract_18(t, deg, row_mask, compat=False))[0]
+    np.testing.assert_allclose(ours, oracle, atol=1e-4)
+
+
+@pytest.mark.parametrize("d,C", [(3, 2), (4, 1)])
+def test_contract18_compat_matches_reference(reference_path, rng, d, C):
+    """Compat mode reproduces the reference collapse6to3 (with its
+    duplicated permutations) channel-for-channel; chi_ii = identity."""
+    import torch
+    from functions.contraction import collapse6to3
+
+    T = rng.standard_normal((d, d, d, C)).astype(np.float32)
+    # reference python_contract: T.permute(3,0,1,2) (x) chi_ii -> collapse6to3
+    Tt = torch.from_numpy(T).permute(3, 0, 1, 2)
+    H = Tt
+    for _ in range(2):
+        H = torch.unsqueeze(H, -1)
+    H = H * torch.eye(d)
+    ref = collapse6to3(H).numpy()
+
+    t = jnp.asarray(T)[None]
+    ours = np.asarray(
+        contractions.contract_18(
+            t, jnp.asarray([float(d)]), jnp.ones((1, d)), compat=True
+        )
+    )[0]
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Batched promotion vs reference per-vertex promotion.
+# ---------------------------------------------------------------------------
+
+
+def _single_record(rng, n, F=3, p=0.6):
+    A = random_adjacency(rng, n, p, weighted=False)
+    x = rng.standard_normal((n, F)).astype(np.float32)
+    return graphs.GraphRecord(x=x, adj=A, y=np.float32(0.5))
+
+
+def test_promotion_matches_reference(reference_ccn_utils, rng):
+    import torch
+    CompnetUtils = reference_ccn_utils
+
+    r = _single_record(rng, 6)
+    A = r.adj + np.eye(6, dtype=np.float32)
+    util = CompnetUtils(False)
+    F0 = util.get_F0(torch.from_numpy(r.x), torch.from_numpy(A))
+
+    cb = ccn.make_ccn_batch([r], add_self_loops=True)
+    f0 = np.asarray(
+        cb.x[:, None, None, :]
+        * (cb.row_mask[:, :, None] * cb.row_mask[:, None, :])[..., None]
+    )
+    for i in range(6):
+        d = int(cb.deg[i])
+        np.testing.assert_allclose(f0[i, :d, :d], F0[i].numpy(), atol=1e-6)
+
+    t = np.asarray(contractions.promote_2d(cb.chi, cb.nbr, jnp.asarray(f0)))
+    for i in range(6):
+        Ti = util.get_nbr_promotions(F0, i).detach().numpy()  # (d, d, d, C)
+        d = Ti.shape[0]
+        np.testing.assert_allclose(t[i, :d, :d, :d], Ti, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Full-model forward parity.
+# ---------------------------------------------------------------------------
+
+
+def _copy_ccn_params(net_t, params, L):
+    p = jax.tree_util.tree_map(np.asarray, params)
+    for i in range(L):
+        lin = net_t._modules[f"w{i+1}"]
+        p[f"w{i+1}"]["kernel"] = lin.weight.detach().numpy().T.copy()
+        p[f"w{i+1}"]["bias"] = lin.bias.detach().numpy().copy()
+    p["fc"]["kernel"] = net_t.fc.weight.detach().numpy().T.copy()
+    p["fc"]["bias"] = net_t.fc.bias.detach().numpy().copy()
+    return jax.tree_util.tree_map(jnp.asarray, p)
+
+
+@pytest.mark.parametrize("L", [1, 2])
+def test_ccn1d_forward_parity(reference_ccn_utils, rng, L):
+    import torch
+    from models.compnets.model_ccn import CCN_1D
+
+    r = _single_record(rng, 7)
+    A = r.adj + np.eye(7, dtype=np.float32)
+    torch.manual_seed(0)
+    net_t = CCN_1D(input_feats=3, n_outputs=1, hidden_size=4, layers=L)
+    with torch.no_grad():
+        ref_out = net_t(torch.from_numpy(r.x), torch.from_numpy(A)).numpy()
+
+    cb = ccn.make_ccn_batch([r], add_self_loops=True)
+    model = ccn.CCN1D(hidden=4, n_layers=L, dim_output=1)
+    variables = model.init(jax.random.key(0), cb, train=True)
+    params = _copy_ccn_params(net_t, variables["params"], L)
+    out = model.apply({"params": params}, cb, train=True)
+    np.testing.assert_allclose(np.asarray(out)[0], ref_out, atol=2e-4)
+
+
+@pytest.mark.parametrize("L", [1, 2])
+def test_ccn2d_forward_parity(reference_ccn_utils, rng, L):
+    import torch
+    from models.compnets.model_ccn import CCN_2D
+
+    r = _single_record(rng, 5)
+    A = r.adj + np.eye(5, dtype=np.float32)
+    torch.manual_seed(0)
+    net_t = CCN_2D(input_feats=3, n_outputs=1, hidden_size=2, layers=L, cudaflag=False)
+    with torch.no_grad():
+        ref_out = net_t(torch.from_numpy(r.x), torch.from_numpy(A)).numpy()
+
+    cb = ccn.make_ccn_batch([r], add_self_loops=True)
+    model = ccn.CCN2D(hidden=2, n_layers=L, dim_output=1, compat_contractions=True)
+    variables = model.init(jax.random.key(0), cb, train=True)
+    params = _copy_ccn_params(net_t, variables["params"], L)
+    out = model.apply({"params": params}, cb, train=True)
+    np.testing.assert_allclose(np.asarray(out)[0], ref_out, atol=3e-4)
+
+
+def test_ccn_batched_equals_per_graph(rng):
+    """A batch of graphs gives the same outputs as one-at-a-time."""
+    recs = [_single_record(rng, n) for n in [5, 7, 4]]
+    cb_all = ccn.make_ccn_batch(recs, k_max=8, vertex_capacity=20)
+    model = ccn.CCN2D(hidden=3, n_layers=2, dim_output=1)
+    variables = model.init(jax.random.key(1), cb_all, train=True)
+    out_all = np.asarray(model.apply(variables, cb_all, train=True))
+    for i, r in enumerate(recs):
+        cb1 = ccn.make_ccn_batch([r], k_max=8, vertex_capacity=10)
+        out1 = np.asarray(model.apply(variables, cb1, train=True))
+        np.testing.assert_allclose(out_all[i], out1[0], atol=1e-4)
+
+
+def test_ccn_permutation_invariance(rng):
+    r = _single_record(rng, 6)
+    perm = rng.permutation(6)
+    rp = graphs.GraphRecord(x=r.x[perm], adj=r.adj[perm][:, perm], y=r.y)
+    model = ccn.CCN2D(hidden=2, n_layers=2, dim_output=1)
+    cb1 = ccn.make_ccn_batch([r])
+    cb2 = ccn.make_ccn_batch([rp], k_max=int(cb1.chi.shape[1]))
+    variables = model.init(jax.random.key(2), cb1, train=True)
+    o1 = np.asarray(model.apply(variables, cb1, train=True))
+    o2 = np.asarray(model.apply(variables, cb2, train=True))
+    np.testing.assert_allclose(o1, o2, atol=1e-4)
