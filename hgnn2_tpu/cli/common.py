@@ -1,0 +1,197 @@
+"""Shared experiment runner behind the CLI drivers.
+
+The reference spreads ~2,100 LoC over eight main_*.py drivers
+(scripts/main_gnn_qm9.py:88, main_ccn_qm9.py:79, main_generate.py:80, ...);
+here one runner consumes a TrainConfig and the drivers are thin flag
+parsers. Dataset resolution order for QM9: explicit npz cache ->
+.xyz directory -> synthetic QM9-shaped fallback (no dataset shipped).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+
+from hgnn2_tpu import runtime
+from hgnn2_tpu.data import batching, qm9, stats, synthetic
+from hgnn2_tpu.nn import ccn as ccn_mod
+from hgnn2_tpu.nn import models
+from hgnn2_tpu.nn.layers import CompatConfig
+from hgnn2_tpu.training import checkpoint as ckpt_lib
+from hgnn2_tpu.training import metrics as metrics_lib
+from hgnn2_tpu.training import train as train_lib
+from hgnn2_tpu.training.config import TrainConfig
+
+log = logging.getLogger("hgnn2_tpu")
+
+
+def load_records(cfg: TrainConfig):
+    d = cfg.data
+    if d.dataset == "synthetic":
+        recs = synthetic.three_collinear_points(
+            d.n_synthetic, d.n_max, d.dim, d.p, d.c, seed=cfg.seed
+        )
+        return recs, "classification", None
+    if d.data_path and os.path.isfile(d.data_path):
+        recs = qm9.load_cache(d.data_path)
+        src = d.data_path
+    elif d.data_path and os.path.isdir(d.data_path):
+        recs = qm9.load_qm9_dir(d.data_path, d.spatial, d.charge)
+        src = d.data_path
+    else:
+        log.warning(
+            "no QM9 data path given/found — using %d synthetic QM9-shaped molecules",
+            d.n_synthetic,
+        )
+        recs = qm9.synthetic_qm9_like(d.n_synthetic, seed=cfg.seed)
+        src = "synthetic_qm9_like"
+    log.info("loaded %d molecules from %s", len(recs), src)
+    return recs, "regression", stats.compute_target_stats(recs)
+
+
+def build_model(cfg: TrainConfig, kind: str):
+    m = cfg.model
+    dim_output = 2 if kind == "classification" else m.dim_output
+    compat = CompatConfig.reference() if m.compat_reference else CompatConfig()
+    if m.arch == "gnn":
+        return models.GNNSimple(
+            n_features=m.n_features, n_layers=m.n_layers, dim_output=dim_output,
+            J=m.J, compat=compat,
+        )
+    if m.arch == "lggnn":
+        return models.GNNLineGraph(
+            n_features=m.n_features, n_layers=m.n_layers, dim_output=dim_output,
+            J=m.J, order=m.order, compat=compat,
+        )
+    if m.arch == "ccn1d":
+        return ccn_mod.CCN1D(
+            hidden=m.n_features, n_layers=m.n_layers, dim_output=dim_output
+        )
+    if m.arch == "ccn2d":
+        return ccn_mod.CCN2D(
+            hidden=m.n_features, n_layers=m.n_layers, dim_output=dim_output,
+            compat_contractions=m.compat_contractions,
+        )
+    raise ValueError(f"unknown arch {m.arch!r}")
+
+
+def run_experiment(cfg: TrainConfig):
+    runtime.setup()
+    logging.basicConfig(level=logging.INFO, force=True)
+    logging.getLogger("hgnn2_tpu").setLevel(logging.INFO)
+    records, kind, tstats = load_records(cfg)
+    train_recs, valid_recs, test_recs = synthetic.split_80_10_10(
+        records, shuffle=cfg.data.shuffle_split, seed=cfg.seed
+    )
+    log.info(
+        "train/valid/test sizes: %d/%d/%d", len(train_recs), len(valid_recs), len(test_recs)
+    )
+    model = build_model(cfg, kind)
+    is_ccn = cfg.model.arch.startswith("ccn")
+    task = cfg.data.task if kind == "regression" else None
+
+    splits = {"train": train_recs, "valid": valid_recs, "test": test_recs}
+
+    def make_loader(split):
+        recs = splits[split]
+        if not recs:
+            return None
+        if is_ccn:
+            return batching.CCNLoader(
+                recs, cfg.batch_size, task=task, shuffle=(split == "train")
+            )
+        return batching.DenseLoader(
+            recs,
+            cfg.batch_size,
+            task=task,
+            with_line_graph=cfg.model.arch == "lggnn",
+            shuffle=(split == "train"),
+        )
+
+    mean = std = 0.0
+    accuracy = None
+    if kind == "regression":
+        mean = float(tstats.mean[cfg.data.task])
+        std = float(tstats.std[cfg.data.task])
+        accuracy = float(tstats.accuracy[cfg.data.task])
+
+    log_path = cfg.log_path or os.path.join(
+        "runs",
+        f"{cfg.model.arch}_{cfg.data.dataset}_L{cfg.model.n_layers}"
+        f"_h{cfg.model.n_features}_bs{cfg.batch_size}_{int(time.time())}",
+    )
+    logger = metrics_lib.ExperimentLogger(log_path)
+    logger.write_settings(cfg)
+    checkpointer = (
+        ckpt_lib.Checkpointer(cfg.checkpoint_path) if cfg.checkpoint_path else None
+    )
+
+    state, history = train_lib.fit(
+        model,
+        make_loader,
+        cfg,
+        kind=kind,
+        mean=mean,
+        std=std,
+        accuracy=accuracy,
+        logger=logger,
+        checkpointer=checkpointer,
+    )
+    if history:
+        final = history[-1]
+        logger.log_final(**final)
+        log.info("final: %s", {k: round(v, 4) for k, v in final.items()})
+    return state, history
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    """Flags mirroring the reference drivers (scripts/main_gnn_qm9.py:36-83)."""
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--data_path", default=None)
+    p.add_argument("--log_path", default=None)
+    p.add_argument("--ckpt", dest="checkpoint_path", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--bs", dest="batch_size", type=int, default=30)
+    p.add_argument("--epochs", dest="max_epoch", type=int, default=40)
+    p.add_argument("--step", dest="epoch_step", type=int, default=5)
+    p.add_argument("--optim", default="adamax")
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--lrdamping", type=float, default=0.9)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--L", dest="layers", type=int, default=15)
+    p.add_argument("--h", dest="nfeatures", type=int, default=1)
+    p.add_argument("--J", type=int, default=1)
+    p.add_argument("--task", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--shuffle", action="store_true")
+    p.add_argument("--compat_reference", action="store_true")
+    return p
+
+
+def config_from_args(args, arch: str, dataset: str) -> TrainConfig:
+    cfg = TrainConfig()
+    cfg.batch_size = args.batch_size
+    cfg.epochs = args.max_epoch
+    cfg.seed = args.seed
+    cfg.log_path = args.log_path
+    cfg.checkpoint_path = args.checkpoint_path
+    cfg.resume = args.resume
+    cfg.optim.optim = args.optim
+    cfg.optim.lr = args.lr
+    cfg.optim.lr_damping = args.lrdamping
+    cfg.optim.epoch_step = args.epoch_step
+    cfg.optim.momentum = args.momentum
+    cfg.model.arch = arch
+    cfg.model.n_features = args.nfeatures
+    cfg.model.n_layers = args.layers
+    cfg.model.J = args.J
+    cfg.model.compat_reference = args.compat_reference
+    cfg.data.dataset = dataset
+    cfg.data.data_path = args.data_path
+    cfg.data.task = args.task
+    cfg.data.shuffle_split = args.shuffle
+    return cfg

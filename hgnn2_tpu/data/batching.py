@@ -1,0 +1,123 @@
+"""Static bucketed batching.
+
+Replaces the reference's per-batch Python padding (functions/batching.py:
+get_batches:52 + prepare_batch:77, which re-pads every batch to that
+batch's own (Nmax, Emax)) with shape-bucketed batching: every batch is
+padded to one of a small fixed set of (node, edge) bucket shapes and to a
+fixed batch size, so XLA compiles one program per bucket and reuses it for
+the whole run. Graph-count padding appends empty graphs (mask 0) that the
+loss ignores.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from hgnn2_tpu import graphs
+from hgnn2_tpu.graphs import GraphRecord, pad_to_bucket
+from hgnn2_tpu.nn import ccn as ccn_mod
+
+DEFAULT_NODE_BUCKETS = (16, 32, 64, 128)
+DEFAULT_EDGE_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
+
+
+@dataclasses.dataclass
+class DenseLoader:
+    """Yields DenseGraphBatch objects with static bucketed shapes.
+
+    sort=True groups graphs of similar size into the same batches
+    (reference sort_batch, functions/batching.py:58-68) which minimizes
+    padding waste; shuffle randomizes order each epoch.
+    """
+
+    records: Sequence[GraphRecord]
+    batch_size: int
+    task: int | None = None
+    with_line_graph: bool = False
+    node_buckets: Sequence[int] = DEFAULT_NODE_BUCKETS
+    edge_buckets: Sequence[int] = DEFAULT_EDGE_BUCKETS
+    sort: bool = True
+    shuffle: bool = False
+    seed: int = 0
+    _epoch: int = 0
+
+    def __iter__(self) -> Iterator[graphs.DenseGraphBatch]:
+        idx = np.arange(len(self.records))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+            self._epoch += 1
+        if self.sort:
+            sizes = np.array([self.records[i].n_nodes for i in idx])
+            idx = idx[np.argsort(sizes, kind="stable")]
+        for s in range(0, len(idx), self.batch_size):
+            chunk = [self.records[i] for i in idx[s : s + self.batch_size]]
+            n_bucket = pad_to_bucket(max(r.n_nodes for r in chunk), self.node_buckets)
+            kw = {}
+            if self.with_line_graph:
+                m_bucket = pad_to_bucket(
+                    max(r.n_dir_edges for r in chunk), self.edge_buckets
+                )
+                kw = dict(m_max=m_bucket)
+            yield graphs.make_dense_batch(
+                chunk,
+                n_max=n_bucket,
+                with_line_graph=self.with_line_graph,
+                batch_size=self.batch_size,
+                task=self.task,
+                **kw,
+            )
+
+    def __len__(self) -> int:
+        return (len(self.records) + self.batch_size - 1) // self.batch_size
+
+
+@dataclasses.dataclass
+class CCNLoader:
+    """Yields CCNBatch objects with a static vertex capacity per batch."""
+
+    records: Sequence[GraphRecord]
+    batch_size: int
+    task: int | None = None
+    k_max: int | None = None
+    vertex_buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048)
+    shuffle: bool = False
+    seed: int = 0
+    add_self_loops: bool = True
+    _epoch: int = 0
+
+    def __post_init__(self):
+        if self.k_max is None:
+            # global max receptive-field size so every batch shares one K
+            k = 0
+            for r in self.records:
+                a = np.asarray(r.adj) > 0
+                deg = a.sum(1) + (1 if self.add_self_loops else 0)
+                k = max(k, int(deg.max()))
+            self.k_max = k
+
+    def __iter__(self) -> Iterator[ccn_mod.CCNBatch]:
+        idx = np.arange(len(self.records))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+            self._epoch += 1
+        for s in range(0, len(idx), self.batch_size):
+            chunk = [self.records[i] for i in idx[s : s + self.batch_size]]
+            cap = pad_to_bucket(
+                sum(r.n_nodes for r in chunk), self.vertex_buckets
+            )
+            yield ccn_mod.make_ccn_batch(
+                chunk,
+                k_max=self.k_max,
+                vertex_capacity=cap,
+                add_self_loops=self.add_self_loops,
+                task=self.task,
+                batch_size=self.batch_size,
+            )
+
+    def __len__(self) -> int:
+        return (len(self.records) + self.batch_size - 1) // self.batch_size

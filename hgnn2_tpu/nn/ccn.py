@@ -54,6 +54,7 @@ class CCNBatch:
     vmask:    (V,) 1.0 for real vertices
     gid:      (V,) int32 graph id (padding rows -> n_graphs)
     y:        (B,) targets
+    gmask:    (B,) 1.0 for real graphs (0 for batch-size padding)
     """
 
     x: jnp.ndarray
@@ -64,6 +65,7 @@ class CCNBatch:
     vmask: jnp.ndarray
     gid: jnp.ndarray
     y: jnp.ndarray
+    gmask: jnp.ndarray
     n_graphs: int = struct.field(pytree_node=False, default=0)
 
 
@@ -73,13 +75,17 @@ def make_ccn_batch(
     vertex_capacity: int | None = None,
     add_self_loops: bool = True,
     task: int | None = None,
+    batch_size: int | None = None,
 ) -> CCNBatch:
     """Builds the batched chi/neighbor tables on the host (numpy).
 
     add_self_loops mirrors the reference train loop's A <- A + I
     (scripts/train_ccn.py:36) which guarantees chi_ii exists.
+    batch_size pads the graph axis with empty graphs (gmask 0) so bucketed
+    training reuses one compiled program.
     """
-    B = len(records)
+    bs = len(records)
+    B = batch_size or bs
     nbr_lists: list[list[np.ndarray]] = []
     for r in records:
         A = np.asarray(r.adj)
@@ -131,6 +137,10 @@ def make_ccn_batch(
     y = np.stack([np.asarray(t) for t in ys], axis=0)
     if not np.issubdtype(y.dtype, np.integer):
         y = y.astype(np.float32)
+    if B > bs:
+        y = np.concatenate([y, np.zeros((B - bs,) + y.shape[1:], y.dtype)])
+    gmask = np.zeros((B,), np.float32)
+    gmask[:bs] = 1.0
     return CCNBatch(
         x=jnp.asarray(x),
         nbr=jnp.asarray(nbr),
@@ -140,6 +150,7 @@ def make_ccn_batch(
         vmask=jnp.asarray(vmask),
         gid=jnp.asarray(gid),
         y=jnp.asarray(y),
+        gmask=jnp.asarray(gmask),
         n_graphs=B,
     )
 

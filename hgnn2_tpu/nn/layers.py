@@ -72,8 +72,10 @@ class MaskedBatchNorm(nn.Module):
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros(stat_shape, jnp.float32)
         )
+        # running std starts at 1 (the reference's zeros,
+        # batch_normalization.py:31, make eval-before-train divide by zero)
         ra_std = self.variable(
-            "batch_stats", "std", lambda: jnp.zeros(stat_shape, jnp.float32)
+            "batch_stats", "std", lambda: jnp.ones(stat_shape, jnp.float32)
         )
 
         hm = h * mask[..., None]

@@ -1,0 +1,78 @@
+"""Experiment configuration dataclasses.
+
+Replaces the reference's per-driver argparse + hard-coded cluster paths
+(scripts/main_gnn_qm9.py:36-83, hard paths at :119-140) with one typed
+config tree; CLI drivers parse flags into these.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass
+class OptimConfig:
+    optim: str = "adamax"  # adamax | adam | sgd (reference main_gnn.py:160-167)
+    lr: float = 3e-4
+    lr_damping: float = 0.9  # lr *= damping every epoch_step epochs
+    epoch_step: int = 5
+    momentum: float = 0.9  # sgd only
+    reset_each_epoch: bool = False  # reference quirk: Adamax re-created
+    # every epoch (main_gnn_qm9.py:185) — moments reset; off by default
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    arch: str = "gnn"  # gnn | lggnn | ccn1d | ccn2d
+    n_features: int = 1  # h
+    n_layers: int = 15  # L
+    J: int = 1
+    order: int = 1  # lggnn update order
+    dim_output: int = 1
+    compat_reference: bool = False
+    compat_contractions: bool = False  # ccn2d
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset: str = "qm9"  # qm9 | synthetic | qm9_synthetic
+    data_path: str | None = None  # npz cache or .xyz dir
+    task: int = 0
+    spatial: bool = False
+    charge: bool = False
+    n_synthetic: int = 1000
+    n_max: int = 50  # synthetic graph size cap
+    dim: int = 5
+    p: float = 0.5
+    c: float = 0.5
+    shuffle_split: bool = False
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    batch_size: int = 30
+    epochs: int = 40
+    seed: int = 0
+    eval_every: int = 1
+    log_path: str | None = None
+    checkpoint_path: str | None = None
+    resume: bool = False
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "TrainConfig":
+        d = dict(d)
+        if "optim" in d and isinstance(d["optim"], dict):
+            d["optim"] = OptimConfig(**d["optim"])
+        if "model" in d and isinstance(d["model"], dict):
+            d["model"] = ModelConfig(**d["model"])
+        if "data" in d and isinstance(d["data"], dict):
+            d["data"] = DataConfig(**d["data"])
+        return cls(**d)

@@ -1,0 +1,216 @@
+"""Training/eval engine: jitted steps over bucketed batches.
+
+Replaces the reference train/eval loops (scripts/train_mnb.py:25,
+test_mnb.py:25, train_ccn.py:24, test_ccn.py:23 — per-batch Python with
+host->device transfers every batch) with jit-compiled train/eval steps,
+compiled once per bucket shape and reused across the whole run.
+
+Losses follow the reference: MSE on mean/std-normalized targets for QM9
+regression (train_mnb.py:50-53), cross-entropy on 2 logits for the
+synthetic classification task (main_generate.py:138-147, signalled there by
+mean == 0). Metrics: MAE on the normalized scale and error ratio =
+MAE / chemical accuracy (main_gnn_qm9.py:231).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core, struct
+
+from hgnn2_tpu.training import metrics as metrics_lib
+from hgnn2_tpu.training.config import TrainConfig
+from hgnn2_tpu.training.optim import build_optimizer
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: Any
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, model, sample_batch, tx, rng):
+        variables = jax.jit(model.init, static_argnames="train")(
+            rng, sample_batch, train=True
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", core.freeze({}))
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            apply_fn=model.apply,
+            tx=tx,
+        )
+
+
+def _graph_mask(batch) -> jnp.ndarray:
+    if hasattr(batch, "gmask"):
+        return batch.gmask
+    return (batch.n_nodes > 0).astype(jnp.float32)
+
+
+def _forward(state, params, batch, train: bool):
+    """Model apply handling the presence/absence of batch stats."""
+    has_bn = bool(state.batch_stats)
+    variables = {"params": params}
+    if has_bn:
+        variables["batch_stats"] = state.batch_stats
+        if train:
+            out, updates = state.apply_fn(
+                variables, batch, train=True, mutable=["batch_stats"]
+            )
+            return out, updates["batch_stats"]
+        return state.apply_fn(variables, batch, train=False), state.batch_stats
+    return state.apply_fn(variables, batch, train=train), state.batch_stats
+
+
+def _loss_and_metrics(out, y, gmask, kind: str, mean: float, std: float):
+    denom = jnp.maximum(gmask.sum(), 1.0)
+    if kind == "classification":
+        logits = out
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+        loss = (ce * gmask).sum() / denom
+        acc = ((jnp.argmax(logits, -1) == y) * gmask).sum() / denom
+        return loss, {"loss": loss, "accuracy": acc}
+    pred = out[:, 0]
+    t = (y - mean) / (std + 1e-8)
+    err = pred - t
+    loss = ((err**2) * gmask).sum() / denom
+    mae = (jnp.abs(err) * gmask).sum() / denom
+    return loss, {"loss": loss, "mae": mae}
+
+
+def make_train_step(kind: str = "regression", mean: float = 0.0, std: float = 1.0):
+    """Returns a jitted train step (state, batch) -> (state, metrics)."""
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        gmask = _graph_mask(batch)
+
+        def loss_fn(params):
+            out, new_stats = _forward(state, params, batch, train=True)
+            loss, mets = _loss_and_metrics(out, batch.y, gmask, kind, mean, std)
+            return loss, (mets, new_stats)
+
+        grads, (mets, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, mets
+
+    return step
+
+
+def make_eval_step(kind: str = "regression", mean: float = 0.0, std: float = 1.0):
+    @jax.jit
+    def step(state: TrainState, batch):
+        gmask = _graph_mask(batch)
+        out, _ = _forward(state, state.params, batch, train=False)
+        _, mets = _loss_and_metrics(out, batch.y, gmask, kind, mean, std)
+        mets["count"] = gmask.sum()
+        return mets
+
+    return step
+
+
+def run_epoch(state, loader, step_fn):
+    meters: dict[str, metrics_lib.AverageMeter] = {}
+    for batch in loader:
+        state, mets = step_fn(state, batch)
+        for k, v in mets.items():
+            meters.setdefault(k, metrics_lib.AverageMeter()).update(float(v))
+    return state, {k: m.avg for k, m in meters.items()}
+
+
+def evaluate(state, loader, eval_fn):
+    sums: dict[str, float] = {}
+    total = 0.0
+    for batch in loader:
+        mets = eval_fn(state, batch)
+        n = float(mets.pop("count"))
+        total += n
+        for k, v in mets.items():
+            sums[k] = sums.get(k, 0.0) + float(v) * n
+    return {k: v / max(total, 1.0) for k, v in sums.items()}
+
+
+def fit(
+    model,
+    make_loader,
+    cfg: TrainConfig,
+    kind: str = "regression",
+    mean: float = 0.0,
+    std: float = 1.0,
+    accuracy: float | None = None,
+    logger: metrics_lib.ExperimentLogger | None = None,
+    checkpointer=None,
+):
+    """Full training run.
+
+    make_loader(split) -> iterable of batches for split in
+    {"train", "valid", "test"}; must yield at least one train batch.
+    """
+    train_loader = make_loader("train")
+    steps_per_epoch = len(train_loader)
+    tx = build_optimizer(cfg.optim, steps_per_epoch)
+    sample = next(iter(train_loader))
+    state = TrainState.create(model, sample, tx, jax.random.key(cfg.seed))
+
+    start_epoch = 0
+    if checkpointer is not None and cfg.resume:
+        restored = checkpointer.restore(state)
+        if restored is not None:
+            state, start_epoch = restored
+
+    train_step = make_train_step(kind, mean, std)
+    eval_step = make_eval_step(kind, mean, std)
+    log = logging.getLogger("hgnn2_tpu")
+    log.info("training: %d epochs x %d steps/epoch", cfg.epochs - start_epoch, steps_per_epoch)
+    run_err = metrics_lib.RunningAverage()
+    run_loss = metrics_lib.RunningAverage()
+    history = []
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.time()
+        if cfg.optim.reset_each_epoch:
+            state = state.replace(opt_state=state.tx.init(state.params))
+        state, train_m = run_epoch(state, train_loader, train_step)
+        run_loss.update(train_m.get("loss", 0.0))
+        if "mae" in train_m:
+            run_err.update(train_m["mae"])
+        row = {f"train_{k}": v for k, v in train_m.items()}
+        if (epoch + 1) % cfg.eval_every == 0:
+            for split in ("valid", "test"):
+                loader = make_loader(split)
+                if loader is not None and len(loader) > 0:
+                    for k, v in evaluate(state, loader, eval_step).items():
+                        row[f"{split}_{k}"] = v
+                        if k == "mae" and accuracy:
+                            row[f"{split}_error_ratio"] = v / accuracy
+        row["epoch_time_s"] = time.time() - t0
+        log.info("epoch %d done in %.1fs: %s", epoch + 1, row["epoch_time_s"],
+                 {k: round(v, 4) for k, v in row.items() if k != "epoch_time_s"})
+        if accuracy and "mae" in train_m:
+            row["train_error_ratio"] = run_err.val / accuracy
+        history.append(row)
+        if logger is not None:
+            logger.log_epoch(epoch + 1, **row)
+        if checkpointer is not None:
+            checkpointer.save(state, epoch + 1)
+    return state, history

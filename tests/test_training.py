@@ -1,0 +1,124 @@
+"""Training-engine tests: optimizer schedule, end-to-end learning on the
+synthetic classification task, CCN regression smoke, checkpoint resume."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hgnn2_tpu.data import batching, qm9, synthetic
+from hgnn2_tpu.nn import ccn as ccn_mod
+from hgnn2_tpu.nn import models
+from hgnn2_tpu.training import checkpoint as ckpt_lib
+from hgnn2_tpu.training import optim as optim_lib
+from hgnn2_tpu.training import train as train_lib
+from hgnn2_tpu.training.config import OptimConfig, TrainConfig
+
+
+def test_stepped_decay_schedule():
+    sched = optim_lib.stepped_decay(1.0, 0.5, epoch_step=2, steps_per_epoch=10)
+    assert sched(0) == 1.0
+    assert sched(19) == 1.0  # epoch 1
+    assert sched(20) == 0.5  # epoch 2
+    assert sched(59) == 0.25  # epoch 5
+
+
+def _fit_classification(arch: str, epochs=6, lr=3e-3, hidden=6, n_max=12):
+    recs = synthetic.three_collinear_points(240, n_max=n_max, dim=4, p=0.5, c=0.4, seed=0)
+    tr, va, te = synthetic.split_80_10_10(recs)
+    cfg = TrainConfig(batch_size=32, epochs=epochs)
+    cfg.optim = OptimConfig(optim="adamax", lr=lr)
+    cfg.model.arch = arch
+
+    if arch.startswith("ccn"):
+        model = (ccn_mod.CCN1D if arch == "ccn1d" else ccn_mod.CCN2D)(
+            hidden=hidden, n_layers=2, dim_output=2
+        )
+        make = lambda s: batching.CCNLoader(
+            {"train": tr, "valid": va, "test": te}[s], 32, task=None
+        )
+    else:
+        model = (
+            models.GNNSimple(n_features=6, n_layers=3, dim_output=2)
+            if arch == "gnn"
+            else models.GNNLineGraph(n_features=6, n_layers=3, dim_output=2, order=2)
+        )
+        make = lambda s: batching.DenseLoader(
+            {"train": tr, "valid": va, "test": te}[s],
+            32,
+            task=None,
+            with_line_graph=(arch == "lggnn"),
+        )
+    state, history = train_lib.fit(model, make, cfg, kind="classification")
+    return history
+
+
+@pytest.mark.parametrize("arch", ["gnn", "lggnn"])
+def test_gnn_learns_classification(arch):
+    history = _fit_classification(arch)
+    accs = [h["train_accuracy"] for h in history]
+    assert accs[-1] > 0.8, f"no learning: {accs}"
+    assert history[-1]["valid_accuracy"] > 0.65
+
+
+def test_ccn1d_learns_classification():
+    history = _fit_classification("ccn1d", epochs=15, lr=1e-2, hidden=12, n_max=10)
+    assert history[-1]["train_accuracy"] > 0.75
+
+
+def test_regression_loss_decreases():
+    recs = qm9.synthetic_qm9_like(160, seed=1)
+    tr, va, te = synthetic.split_80_10_10(recs)
+    from hgnn2_tpu.data import stats as stats_lib
+
+    ts = stats_lib.compute_target_stats(recs)
+    cfg = TrainConfig(batch_size=32, epochs=5)
+    cfg.optim = OptimConfig(lr=3e-3)
+    model = models.GNNSimple(n_features=4, n_layers=3, dim_output=1, J=1)
+    make = lambda s: batching.DenseLoader(
+        {"train": tr, "valid": va, "test": te}[s], 32, task=0
+    )
+    state, history = train_lib.fit(
+        model, make, cfg, kind="regression",
+        mean=float(ts.mean[0]), std=float(ts.std[0]),
+        accuracy=float(ts.accuracy[0]),
+    )
+    losses = [h["train_loss"] for h in history]
+    assert losses[-1] < losses[0] * 0.8, losses
+    assert "valid_error_ratio" in history[-1]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    recs = qm9.synthetic_qm9_like(40, seed=2)
+    tr, va, te = synthetic.split_80_10_10(recs)
+    cfg = TrainConfig(batch_size=16, epochs=2, checkpoint_path=str(tmp_path / "ck"))
+    model = models.GNNSimple(n_features=2, n_layers=3, dim_output=1)
+    make = lambda s: batching.DenseLoader(
+        {"train": tr, "valid": va, "test": te}[s], 16, task=0
+    )
+    ckpt = ckpt_lib.Checkpointer(cfg.checkpoint_path)
+    state, _ = train_lib.fit(model, make, cfg, checkpointer=ckpt)
+    # resume: restores epoch 2 -> no more training needed
+    cfg2 = TrainConfig(
+        batch_size=16, epochs=2, checkpoint_path=cfg.checkpoint_path, resume=True
+    )
+    ckpt2 = ckpt_lib.Checkpointer(cfg.checkpoint_path)
+    state2, history2 = train_lib.fit(model, make, cfg2, checkpointer=ckpt2)
+    assert history2 == []  # resumed at epoch 2 of 2
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(state2.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
+
+
+def test_reset_each_epoch_runs():
+    recs = qm9.synthetic_qm9_like(32, seed=3)
+    tr, va, te = synthetic.split_80_10_10(recs)
+    cfg = TrainConfig(batch_size=16, epochs=2)
+    cfg.optim.reset_each_epoch = True
+    model = models.GNNSimple(n_features=2, n_layers=3, dim_output=1)
+    make = lambda s: batching.DenseLoader(
+        {"train": tr, "valid": va, "test": te}[s], 16, task=0
+    )
+    _, history = train_lib.fit(model, make, cfg)
+    assert len(history) == 2
