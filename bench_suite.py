@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Full benchmark suite: per-family training throughput + SpMM roofline.
+
+Writes BENCH_DETAILS.json with every result; bench.py remains the
+single-line headline harness the driver consumes. Run:
+
+  python bench_suite.py [--quick]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+from hgnn2_tpu import runtime
+
+runtime.setup()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from hgnn2_tpu import graphs, profiling  # noqa: E402
+from hgnn2_tpu.data import qm9, stats  # noqa: E402
+from hgnn2_tpu.nn import ccn as ccn_mod  # noqa: E402
+from hgnn2_tpu.nn import models, packed  # noqa: E402
+from hgnn2_tpu.ops import sparse  # noqa: E402
+from hgnn2_tpu.training import train as train_lib  # noqa: E402
+from hgnn2_tpu.training.config import OptimConfig  # noqa: E402
+from hgnn2_tpu.training.optim import build_optimizer  # noqa: E402
+
+# Reference floors (BASELINE.md)
+REF = {
+    "gnn_molecules_per_s": 500.0,  # GNN_simple ~215 s/epoch over 107k molecules
+    "lggnn_molecules_per_s": 107108 / 720.0,  # ~149/s (720 s/epoch)
+    "ccn1d_molecules_per_s": 107108 / 950.0,  # ~113/s (850-1050 s/epoch)
+    "ccn2d_molecules_per_s": 4.3,  # ~2,500 s/epoch over 10,710 molecules
+}
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _train_state(model, batch, lr=3e-4):
+    tx = build_optimizer(OptimConfig(optim="adamax", lr=lr), steps_per_epoch=1000)
+    return train_lib.TrainState.create(model, batch, tx, jax.random.key(0))
+
+
+def bench_dense_family(name, model, batch, n_mol, steps):
+    state = _train_state(model, batch)
+    step = train_lib.make_train_step("regression", 0.0, 1.0)
+    t0 = time.time()
+    state, timing = profiling.time_scan_steps(step, state, batch, steps=steps)
+    log(f"{name}: {timing.per_step_s*1e3:.2f} ms/step "
+        f"({n_mol} molecules/step; compile+warmup {(time.time()-t0-timing.total_s):.1f}s)")
+    return timing.throughput(n_mol)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    steps = 10 if args.quick else 30
+    results = {}
+
+    BS = 1024 if args.quick else 4096
+    records = qm9.synthetic_qm9_like(BS, seed=0)
+    n_edges = sum(r.n_dir_edges for r in records)
+    n_atoms = sum(r.n_nodes for r in records)
+    log(f"dataset: {BS} molecules, {n_atoms} atoms, {n_edges} directed edges")
+
+    # --- GNN_simple flagship (L=15, h=1, J=1) ---------------------------
+    batch = graphs.make_dense_batch(records, n_max=32, batch_size=BS, task=0)
+    v = bench_dense_family(
+        "gnn L15", models.GNNSimple(n_features=1, n_layers=15, J=1), batch, BS, steps
+    )
+    results["gnn_molecules_per_s"] = v
+
+    # --- LGGNN (L=5, h=1, order 2) --------------------------------------
+    lg_batch = graphs.make_dense_batch(
+        records, n_max=32, m_max=64, with_line_graph=True, batch_size=BS, task=0
+    )
+    v = bench_dense_family(
+        "lggnn L5",
+        models.GNNLineGraph(n_features=1, n_layers=5, J=1, order=2),
+        lg_batch, BS, steps,
+    )
+    results["lggnn_molecules_per_s"] = v
+
+    # --- CCN-1D (L=20, h=2) and CCN-2D (L=2, h=2) -----------------------
+    ccn_bs = BS // 4
+    cb = ccn_mod.make_ccn_batch(records[:ccn_bs], k_max=5, task=0,
+                                vertex_capacity=1 + 12 * ccn_bs)
+    for name, model, key in [
+        ("ccn1d L20", ccn_mod.CCN1D(hidden=2, n_layers=20), "ccn1d_molecules_per_s"),
+        ("ccn2d L2", ccn_mod.CCN2D(hidden=2, n_layers=2), "ccn2d_molecules_per_s"),
+    ]:
+        state = _train_state(model, cb, lr=1e-3)
+        step = train_lib.make_train_step("regression", 0.0, 1.0)
+        t0 = time.time()
+        state, timing = profiling.time_scan_steps(step, state, cb, steps=steps)
+        log(f"{name}: {timing.per_step_s*1e3:.2f} ms/step ({ccn_bs} molecules/step)")
+        results[key] = timing.throughput(ccn_bs)
+        results[key.replace("molecules_per_s", "steps_per_s")] = 1.0 / timing.per_step_s
+
+    # --- SpMM roofline: dense-block and packed-sparse -------------------
+    bundle_pw = None
+    from hgnn2_tpu.ops import dense as dense_ops
+
+    adj = batch.adj
+    F = 128
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (BS, 32, F)).astype(np.float32))
+
+    @jax.jit
+    def dense_spmm(adj, x):
+        return jnp.einsum("bnm,bmf->bnf", adj, x, preferred_element_type=jnp.float32)
+
+    timing = profiling.time_steps(dense_spmm, adj, x, steps=steps)
+    results["dense_block_spmm_edges_per_s"] = n_edges / timing.per_step_s
+    results["dense_block_spmm_flops_per_s"] = 2 * BS * 32 * 32 * F / timing.per_step_s
+    log(f"dense-block SpMM (F={F}): {timing.per_step_s*1e3:.3f} ms "
+        f"-> {results['dense_block_spmm_edges_per_s']:,.0f} real edges/s, "
+        f"{results['dense_block_spmm_flops_per_s']/1e12:.2f} padded TFLOP/s")
+
+    pb = graphs.make_packed_batch(records, node_capacity=n_atoms + 1,
+                                  edge_capacity=n_edges, task=0)
+    xp = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (pb.num_node_slots, F)).astype(np.float32))
+
+    @jax.jit
+    def packed_spmm(src, dst, w, x):
+        return sparse.spmm(src, dst, w, x, pb.num_node_slots)
+
+    timing = profiling.time_steps(packed_spmm, pb.src, pb.dst, pb.w, xp, steps=steps)
+    results["packed_spmm_edges_per_s"] = n_edges / timing.per_step_s
+    log(f"packed segment-sum SpMM (F={F}): {timing.per_step_s*1e3:.3f} ms "
+        f"-> {results['packed_spmm_edges_per_s']:,.0f} edges/s")
+
+    # ratios vs the reference floors
+    for k, ref in REF.items():
+        if k in results:
+            results[f"{k}_vs_reference"] = results[k] / ref
+    results["config"] = {"batch": BS, "steps": steps,
+                         "device": str(jax.devices()[0])}
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    log("wrote BENCH_DETAILS.json")
+    for k, v in results.items():
+        if isinstance(v, float):
+            log(f"  {k}: {v:,.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -261,6 +261,30 @@ def load_cache(path: str) -> list[GraphRecord]:
     return out
 
 
+def split_shards(records: Sequence[GraphRecord], n_shards: int = 10, seed: int = 0):
+    """Random permutation split into n shards (reference loading.py:40
+    split_data -> qm9_0..qm9_9 pickles)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(records))
+    per = len(records) // n_shards
+    shards = []
+    for k in range(n_shards):
+        end = (k + 1) * per if k < n_shards - 1 else len(records)
+        shards.append([records[i] for i in idx[k * per : end]])
+    return shards
+
+
+def save_shards(records: Sequence[GraphRecord], out_dir: str, n_shards: int = 10,
+                seed: int = 0) -> list[str]:
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for k, shard in enumerate(split_shards(records, n_shards, seed)):
+        path = os.path.join(out_dir, f"qm9_{k}.npz")
+        save_cache(shard, path)
+        paths.append(path)
+    return paths
+
+
 # ---------------------------------------------------------------------------
 # QM9-shaped synthetic molecules (benchmarking / smoke tests without data).
 # ---------------------------------------------------------------------------

@@ -112,6 +112,13 @@ def make_ccn_batch(
     vmask = np.zeros((V,), dtype=np.float32)
     gid = np.full((V,), B, dtype=np.int32)
 
+    try:
+        from hgnn2_tpu import native
+
+        use_native = native.available()
+    except ImportError:
+        use_native = False
+
     off = 0
     ys = []
     for g, (r, lists) in enumerate(zip(records, nbr_lists)):
@@ -119,19 +126,31 @@ def make_ccn_batch(
         x[off : off + n] = r.x
         gid[off : off + n] = g
         vmask[off : off + n] = 1.0
-        for i, li in enumerate(lists):
-            d = len(li)
-            if d > K:
-                raise ValueError(f"degree {d} exceeds K={K}")
-            v = off + i
-            deg[v] = d
-            row_mask[v, :d] = 1.0
-            nbr[v, :d] = li + off
-            for k, j in enumerate(li):
-                lj = lists[j]
-                # chi[a, b] = 1 iff li[a] == lj[b]
-                eq = li[:, None] == lj[None, :]
-                chi[v, k, :d, : len(lj)] = eq.astype(np.float32)
+        if use_native:
+            offsets = np.zeros(n + 1, np.int32)
+            np.cumsum([len(l) for l in lists], out=offsets[1:])
+            flat = (
+                np.concatenate(lists).astype(np.int32)
+                if lists
+                else np.zeros(0, np.int32)
+            )
+            native.build_chi_tables_native(
+                offsets, flat, K, off, chi, nbr, deg, row_mask
+            )
+        else:
+            for i, li in enumerate(lists):
+                d = len(li)
+                if d > K:
+                    raise ValueError(f"degree {d} exceeds K={K}")
+                v = off + i
+                deg[v] = d
+                row_mask[v, :d] = 1.0
+                nbr[v, :d] = li + off
+                for k, j in enumerate(li):
+                    lj = lists[j]
+                    # chi[a, b] = 1 iff li[a] == lj[b]
+                    eq = li[:, None] == lj[None, :]
+                    chi[v, k, :d, : len(lj)] = eq.astype(np.float32)
         off += n
         ys.append(r.y if task is None else r.y[task])
     y = np.stack([np.asarray(t) for t in ys], axis=0)

@@ -96,6 +96,22 @@ class MaskedBatchNorm(nn.Module):
         return out
 
 
+def spatial_normalization(h: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-5):
+    """Per-sample, per-feature standardization over (valid) nodes.
+
+    The legacy generation's alternative to batch norm (reference
+    batching.py:189 spatial_normalization / :205 spatial_mean_with_padding,
+    used by legacy layers_mnb.py:50): each graph's features are centered
+    and scaled by its own node statistics. h: (B, N, F), mask: (B, N).
+    """
+    hm = h * mask[..., None]
+    count = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)[..., None]
+    mean = hm.sum(axis=1, keepdims=True) / count
+    centered = (hm - mean) * mask[..., None]
+    var = eps + (centered**2).sum(axis=1, keepdims=True) / count
+    return centered / jnp.sqrt(var)
+
+
 class GRUUpdate(nn.Module):
     """Gated node-state update (reference models/layers/gru_update.py:17).
 

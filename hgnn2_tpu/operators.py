@@ -71,8 +71,22 @@ def undirected_edges(A: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return edges, A[iu[keep], ju[keep]].astype(np.float32)
 
 
-def build_line_graph(A: np.ndarray) -> LineGraph:
-    """Directed line graph with interleaved forward/reverse edge pairs."""
+def build_line_graph(A: np.ndarray, use_native: bool = True) -> LineGraph:
+    """Directed line graph with interleaved forward/reverse edge pairs.
+
+    Uses the C++ library (hgnn2_tpu.native) when available; the numpy path
+    below is the reference implementation and fallback.
+    """
+    if use_native:
+        try:
+            from hgnn2_tpu import native
+
+            out = native.build_line_graph_native(np.asarray(A, dtype=np.float32))
+            if out is not None:
+                src, dst, w, rev = out
+                return LineGraph(src=src, dst=dst, w=w, rev=rev)
+        except ImportError:
+            pass
     edges, w = undirected_edges(A)
     E = edges.shape[0]
     src = np.empty(2 * E, dtype=np.int32)

@@ -1,0 +1,97 @@
+"""Profiling and roofline accounting.
+
+The reference's only instrumentation is wall-clock meters
+(functions/utils.py:115-146). Here: a step timer with device
+synchronization, edges/s + bytes/edge roofline accounting for aggregation
+ops, and a jax.profiler trace context for deep dives.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+
+
+@dataclasses.dataclass
+class StepTiming:
+    steps: int
+    total_s: float
+
+    @property
+    def per_step_s(self) -> float:
+        return self.total_s / max(self.steps, 1)
+
+    def throughput(self, items_per_step: float) -> float:
+        return items_per_step * self.steps / self.total_s
+
+
+def time_steps(fn: Callable, *args, steps: int = 20, warmup: int = 2) -> StepTiming:
+    """Times `steps` calls of fn(*args) with device sync at the end.
+
+    fn must be side-effect free w.r.t. args (same args each call).
+    """
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(steps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return StepTiming(steps=steps, total_s=time.time() - t0)
+
+
+def time_scan_steps(step_fn: Callable, state, batch, steps: int = 20, warmup: int = 2):
+    """Times a (state, batch) -> (state, aux) step function, threading state."""
+    for _ in range(warmup):
+        state, aux = step_fn(state, batch)
+    jax.block_until_ready(aux)
+    t0 = time.time()
+    for _ in range(steps):
+        state, aux = step_fn(state, batch)
+    jax.block_until_ready(aux)
+    return state, StepTiming(steps=steps, total_s=time.time() - t0)
+
+
+@dataclasses.dataclass
+class AggregationRoofline:
+    """Roofline model for one multi-operator aggregation pass."""
+
+    n_edges: int  # real (unpadded) directed edges
+    n_nodes: int
+    feature_dim: int
+    dense_block: tuple | None = None  # (B, N) when dense-block layout
+
+    def flops(self, n_operators: int = 1) -> int:
+        if self.dense_block:
+            b, n = self.dense_block
+            return 2 * b * n * n * self.feature_dim * n_operators
+        return 2 * self.n_edges * self.feature_dim * n_operators
+
+    def bytes_moved(self, dtype_bytes: int = 4) -> int:
+        if self.dense_block:
+            b, n = self.dense_block
+            return dtype_bytes * (b * n * n + 2 * b * n * self.feature_dim)
+        return dtype_bytes * (
+            3 * self.n_edges + 2 * self.n_nodes * self.feature_dim
+        )
+
+    def edges_per_s(self, timing: StepTiming) -> float:
+        return self.n_edges / timing.per_step_s
+
+    def bytes_per_edge(self) -> float:
+        return self.bytes_moved() / max(self.n_edges, 1)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/hgnn2_trace"):
+    """jax.profiler trace context; view with tensorboard or xprof."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()

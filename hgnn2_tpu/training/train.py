@@ -118,6 +118,46 @@ def make_train_step(kind: str = "regression", mean: float = 0.0, std: float = 1.
     return step
 
 
+def make_multi_train_step(
+    kind: str = "regression", mean: float = 0.0, std: float = 1.0, n_inner: int = 10
+):
+    """Train step that advances n_inner optimizer steps inside ONE jitted
+    program via lax.scan (same batch each inner step). Used by benchmarks
+    to amortize host dispatch latency, and useful on high-latency links."""
+
+    def body(state: TrainState, batch):
+        gmask = _graph_mask(batch)
+
+        def loss_fn(params):
+            out, new_stats = _forward(state, params, batch, train=True)
+            loss, mets = _loss_and_metrics(out, batch.y, gmask, kind, mean, std)
+            return loss, (mets, new_stats)
+
+        grads, (mets, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            mets,
+        )
+
+    @jax.jit
+    def multi_step(state: TrainState, batch):
+        def scan_body(s, _):
+            s, mets = body(s, batch)
+            return s, mets
+
+        state, mets = jax.lax.scan(scan_body, state, None, length=n_inner)
+        return state, jax.tree_util.tree_map(lambda m: m[-1], mets)
+
+    return multi_step
+
+
 def make_eval_step(kind: str = "regression", mean: float = 0.0, std: float = 1.0):
     @jax.jit
     def step(state: TrainState, batch):
