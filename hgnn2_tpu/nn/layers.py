@@ -157,6 +157,34 @@ class PowerLayer(nn.Module):
         return _pair_conv(x1, self.features_out, self.compat, mask, train, relu_second=True)
 
 
+class FusedPowerLayer(nn.Module):
+    """PowerLayer with the pre-BN body in one Pallas kernel
+    (ops/pallas/power_layer.py). Parameter names/shapes match PowerLayer so
+    checkpoints are interchangeable. Requires a DenseBundle-style caller
+    providing adjacency/degree directly (the kernel applies operator powers
+    itself)."""
+
+    features_out: int
+    J: int = 1
+    compat: CompatConfig = CompatConfig()
+    interpret: bool = False  # interpreter mode (CPU tests)
+
+    @nn.compact
+    def __call__(self, adj, deg, x, mask, train: bool) -> jnp.ndarray:
+        from hgnn2_tpu.ops.pallas.power_layer import fused_power_layer
+
+        f_in = (self.J + 2) * x.shape[-1]
+        w1 = self.param("cv1_kernel", ref_init(), (f_in, self.features_out))
+        b1 = self.param("cv1_bias", ref_init(), (self.features_out,))
+        w2 = self.param("cv2_kernel", ref_init(), (f_in, self.features_out))
+        b2 = self.param("cv2_bias", ref_init(), (self.features_out,))
+        z = fused_power_layer(
+            adj, deg, x, mask, w1, b1, w2, b2,
+            self.J, True, 8, self.interpret,
+        )
+        return MaskedBatchNorm(compat=self.compat, name="bn")(z, mask, train)
+
+
 class ReadoutLayer(nn.Module):
     """Final readout (reference layer_last:72-95): sum_n fc(gop(X))."""
 

@@ -29,19 +29,24 @@ class GNNSimple(nn.Module):
     dim_output: int = 1
     J: int = 1
     compat: CompatConfig = CompatConfig()
+    fused: bool = False  # run layer bodies as one Pallas kernel each
+    interpret: bool = False  # Pallas interpreter mode (CPU tests)
 
     @nn.compact
     def __call__(self, batch, train: bool = True, bundle=None) -> jnp.ndarray:
         if bundle is None:
             bundle = DenseBundle.from_batch(batch, self.J)
         x, mask = batch.x, batch.node_mask
-        x = layers.PowerLayer(self.n_features, self.compat, name="layer0")(
-            bundle, x, mask, train
-        )
-        for i in range(self.n_layers - 2):
-            x = layers.PowerLayer(self.n_features, self.compat, name=f"layer{i+1}")(
-                bundle, x, mask, train
-            )
+        for i in range(self.n_layers - 1):
+            name = f"layer{i}"
+            if self.fused:
+                x = layers.FusedPowerLayer(
+                    self.n_features, self.J, self.compat, self.interpret, name=name
+                )(batch.adj, bundle.deg, x, mask, train)
+            else:
+                x = layers.PowerLayer(self.n_features, self.compat, name=name)(
+                    bundle, x, mask, train
+                )
         return layers.ReadoutLayer(self.dim_output, self.compat, name="layerlast")(
             bundle, x, mask, train
         )
