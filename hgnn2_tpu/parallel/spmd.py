@@ -133,6 +133,48 @@ def partitioned_graph_op(mesh: Mesh, num_nodes: int, J: int):
     return apply
 
 
+def local_partitioned_spmm(mesh: Mesh, nodes_per_shard: int):
+    """Molecule-aligned edge partitioning: nodes AND edges are sharded over
+    'edge' with shard-local indices, so aggregation is fully local (no
+    collective per apply — molecules never span shards when batches are
+    packed molecule-by-molecule, so the cut is empty). Inputs are stacked
+    (S, El) / (S, Vl, F) arrays sharded on their leading axis.
+
+    This is the scaling-efficient configuration for many-small-graphs
+    training; partitioned_spmm (replicated x + psum) is the fallback for a
+    single giant graph whose cut cannot be emptied.
+    """
+
+    def local(src, dst, w, x):
+        # shard_map passes (1, El), (1, Vl, F) blocks
+        out = jax.ops.segment_sum(
+            w[0][:, None] * x[0][dst[0]], src[0], num_segments=nodes_per_shard
+        )
+        return out[None]
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("edge"), P("edge"), P("edge"), P("edge")),
+        out_specs=P("edge"),
+        check_rep=False,
+    )
+
+
+def partition_records(records, n_shards: int):
+    """Greedy bin-pack molecules into n_shards shards balanced by edge
+    count (the 'minimize cut edges' partitioner is trivial for disconnected
+    molecules: never split one)."""
+    order = sorted(range(len(records)), key=lambda i: -records[i].n_dir_edges)
+    shards = [[] for _ in range(n_shards)]
+    loads = [0] * n_shards
+    for i in order:
+        k = loads.index(min(loads))
+        shards[k].append(records[i])
+        loads[k] += records[i].n_dir_edges
+    return shards
+
+
 def pad_edges_for_partition(arrays: dict, n_shards: int, num_nodes: int):
     """Pad packed edge arrays so the edge count divides n_shards.
 

@@ -27,6 +27,8 @@ from flax import core, struct
 from hgnn2_tpu.training import metrics as metrics_lib
 from hgnn2_tpu.training.config import TrainConfig
 from hgnn2_tpu.training.optim import build_optimizer
+from hgnn2_tpu.training.prefetch import prefetch
+from hgnn2_tpu.training.preemption import GracefulShutdown
 
 
 @struct.dataclass
@@ -170,9 +172,9 @@ def make_eval_step(kind: str = "regression", mean: float = 0.0, std: float = 1.0
     return step
 
 
-def run_epoch(state, loader, step_fn):
+def run_epoch(state, loader, step_fn, prefetch_size: int = 2):
     meters: dict[str, metrics_lib.AverageMeter] = {}
-    for batch in loader:
+    for batch in prefetch(loader, size=prefetch_size):
         state, mets = step_fn(state, batch)
         for k, v in mets.items():
             meters.setdefault(k, metrics_lib.AverageMeter()).update(float(v))
@@ -226,6 +228,8 @@ def fit(
     run_err = metrics_lib.RunningAverage()
     run_loss = metrics_lib.RunningAverage()
     history = []
+    shutdown = GracefulShutdown()
+    shutdown.__enter__()
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         if cfg.optim.reset_each_epoch:
@@ -253,4 +257,9 @@ def fit(
             logger.log_epoch(epoch + 1, **row)
         if checkpointer is not None:
             checkpointer.save(state, epoch + 1)
+        if shutdown.requested:
+            log.warning("stopping after epoch %d (signal); resume with "
+                        "cfg.resume", epoch + 1)
+            break
+    shutdown.__exit__()
     return state, history
