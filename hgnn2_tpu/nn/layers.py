@@ -40,11 +40,16 @@ class CompatConfig:
     scalar_affine_bn: bool = False  # reference BN 0-d gamma/beta
     mask_bn_output: bool = True  # False = reference (padded nodes leak)
     mask_readout_bias: bool = True  # False = reference (bias * Nmax in sum)
+    bn_running_std_init_zero: bool = False  # reference inits running std to 0
+    # (batch_normalization.py:31) — eval before any training divides by zero
 
     @classmethod
     def reference(cls) -> "CompatConfig":
         return cls(
-            scalar_affine_bn=True, mask_bn_output=False, mask_readout_bias=False
+            scalar_affine_bn=True,
+            mask_bn_output=False,
+            mask_readout_bias=False,
+            bn_running_std_init_zero=True,
         )
 
 
@@ -72,10 +77,13 @@ class MaskedBatchNorm(nn.Module):
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros(stat_shape, jnp.float32)
         )
-        # running std starts at 1 (the reference's zeros,
-        # batch_normalization.py:31, make eval-before-train divide by zero)
+        # running std starts at 1 by default (the reference's zeros make
+        # eval-before-train divide by zero); compat restores the zeros
+        std_init = (
+            jnp.zeros if self.compat.bn_running_std_init_zero else jnp.ones
+        )
         ra_std = self.variable(
-            "batch_stats", "std", lambda: jnp.ones(stat_shape, jnp.float32)
+            "batch_stats", "std", lambda: std_init(stat_shape, jnp.float32)
         )
 
         hm = h * mask[..., None]
