@@ -75,6 +75,7 @@ def build_model(cfg: TrainConfig, kind: str):
         return ccn_mod.CCN2D(
             hidden=m.n_features, n_layers=m.n_layers, dim_output=dim_output,
             compat_contractions=m.compat_contractions,
+            vertex_chunks=m.vertex_chunks,
         )
     raise ValueError(f"unknown arch {m.arch!r}")
 

@@ -83,7 +83,7 @@ class CCNLoader:
     batch_size: int
     task: int | None = None
     k_max: int | None = None
-    vertex_buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048)
+    vertex_buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
     shuffle: bool = False
     seed: int = 0
     add_self_loops: bool = True

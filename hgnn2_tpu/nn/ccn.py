@@ -221,12 +221,18 @@ class CCN2D(nn.Module):
     Per layer: 2D promotion chi F chi^T, the fused 18 contractions, shared
     Linear + ReLU. compat_contractions reproduces the reference's
     duplicated contraction channels (contraction.py:70-81).
+
+    vertex_chunks > 1 evaluates each layer in vertex chunks via lax.map so
+    the (V, K, K, K, C) promotion tensor never materializes whole — needed
+    for dense synthetic graphs where K grows to tens (the reference's
+    exp_ccn2_col.sh configuration). Results are identical (tests).
     """
 
     hidden: int = 2
     n_layers: int = 2
     dim_output: int = 1
     compat_contractions: bool = False
+    vertex_chunks: int = 1
 
     @nn.compact
     def __call__(self, cb: CCNBatch, train: bool = True) -> jnp.ndarray:
@@ -234,20 +240,52 @@ class CCN2D(nn.Module):
         f = cb.x[:, None, None, :] * mask2[..., None]  # (V, K, K, F)
         layer_sums = [self._readout(f, cb)]
         for i in range(self.n_layers):
-            t = contractions.promote_2d(cb.chi, cb.nbr, f)
-            z = contractions.contract_18(
-                t, cb.deg, cb.row_mask, compat=self.compat_contractions
-            )  # (V, K, K, 18C)
-            z = nn.Dense(
+            dense = nn.Dense(
                 self.hidden, kernel_init=ref_init(), bias_init=ref_init(),
                 name=f"w{i+1}",
-            )(z)
-            f = nn.relu(z) * mask2[..., None]
+            )
+            if self.vertex_chunks <= 1:
+                t = contractions.promote_2d(cb.chi, cb.nbr, f)
+                z = contractions.contract_18(
+                    t, cb.deg, cb.row_mask, compat=self.compat_contractions
+                )  # (V, K, K, 18C)
+                f = nn.relu(dense(z)) * mask2[..., None]
+            else:
+                f = self._chunked_layer(dense, cb, f, mask2)
             layer_sums.append(self._readout(f, cb))
         feat = jnp.concatenate(layer_sums, axis=-1)
         return nn.Dense(
             self.dim_output, kernel_init=ref_init(), bias_init=ref_init(), name="fc"
         )(feat)
+
+    def _chunked_layer(self, dense, cb: CCNBatch, f, mask2):
+        v = f.shape[0]
+        n_chunks = self.vertex_chunks
+        if v % n_chunks:
+            raise ValueError(f"vertex count {v} not divisible by {n_chunks}")
+        vc = v // n_chunks
+        k = cb.chi.shape[1]
+        # create the params eagerly (outside lax.map) with standard names
+        zeros = jnp.zeros((1, k, k, 18 * f.shape[-1]), f.dtype)
+        dense(zeros)
+
+        def body(chunk):
+            chi_c, nbr_c, deg_c, rm_c, m2_c = chunk
+            t = contractions.promote_2d(chi_c, nbr_c, f)
+            z = contractions.contract_18(
+                t, deg_c, rm_c, compat=self.compat_contractions
+            )
+            return nn.relu(dense(z)) * m2_c[..., None]
+
+        chunks = (
+            cb.chi.reshape(n_chunks, vc, *cb.chi.shape[1:]),
+            cb.nbr.reshape(n_chunks, vc, -1),
+            cb.deg.reshape(n_chunks, vc),
+            cb.row_mask.reshape(n_chunks, vc, -1),
+            mask2.reshape(n_chunks, vc, *mask2.shape[1:]),
+        )
+        out = jax.lax.map(body, chunks)
+        return out.reshape(v, *out.shape[2:])
 
     def _readout(self, f: jnp.ndarray, cb: CCNBatch) -> jnp.ndarray:
         per_vertex = f.sum(axis=(1, 2)) * cb.vmask[:, None]

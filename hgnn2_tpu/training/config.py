@@ -33,6 +33,7 @@ class ModelConfig:
     dim_output: int = 1
     compat_reference: bool = False
     compat_contractions: bool = False  # ccn2d
+    vertex_chunks: int = 1  # ccn2d: chunk vertices to bound promotion memory
 
 
 @dataclasses.dataclass

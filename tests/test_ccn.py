@@ -218,3 +218,31 @@ def test_ccn_permutation_invariance(rng):
     o1 = np.asarray(model.apply(variables, cb1, train=True))
     o2 = np.asarray(model.apply(variables, cb2, train=True))
     np.testing.assert_allclose(o1, o2, atol=1e-4)
+
+
+def test_ccn2d_vertex_chunked_equivalence(rng):
+    """vertex_chunks gives identical outputs/grads to the monolithic path
+    and handles large receptive fields without the full promotion tensor."""
+    import jax
+
+    from hgnn2_tpu.data import qm9 as qm9_data
+
+    recs = qm9_data.synthetic_qm9_like(8, seed=3)
+    cb = ccn.make_ccn_batch(recs, k_max=6, vertex_capacity=128)
+    m1 = ccn.CCN2D(hidden=3, n_layers=2)
+    m2 = ccn.CCN2D(hidden=3, n_layers=2, vertex_chunks=4)
+    variables = m1.init(jax.random.key(0), cb, train=True)
+    o1 = np.asarray(m1.apply(variables, cb, train=True))
+    o2 = np.asarray(m2.apply(variables, cb, train=True))
+    np.testing.assert_allclose(o1, o2, atol=1e-5)
+
+    def loss(p, model):
+        out = model.apply({"params": p}, cb, train=True)
+        return (out**2).mean()
+
+    g1 = jax.grad(lambda p: loss(p, m1))(variables["params"])
+    g2 = jax.grad(lambda p: loss(p, m2))(variables["params"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
