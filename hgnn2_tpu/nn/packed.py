@@ -19,6 +19,94 @@ from hgnn2_tpu.nn.layers import CompatConfig, MaskedBatchNorm, ref_init
 from hgnn2_tpu.ops import sparse
 
 
+class PackedLGGNN(nn.Module):
+    """Line-graph GNN over packed graphs; mirrors GNNLineGraph
+    layer-for-layer using segment-sum aggregation (ops/sparse.py): the NB
+    operator, incidence maps Pm/Pd and their transposes all run as
+    gather/scatter over the flat edge arrays — the layout for graphs whose
+    dense (B, M, M) blocks would not fit."""
+
+    n_features: int
+    n_layers: int
+    dim_output: int = 1
+    J: int = 1
+    order: int = 1
+    compat: CompatConfig = CompatConfig()
+
+    @nn.compact
+    def __call__(self, pb: PackedGraphBatch, train: bool = True) -> jnp.ndarray:
+        V = pb.num_node_slots
+        deg = sparse.degrees(pb.src, pb.w, V)
+        dl = sparse.nb_degrees(pb.src, pb.dst, pb.w, pb.rev, pb.edge_mask, V)
+        vmask = pb.node_mask
+        emask = pb.edge_mask
+
+        def gop(x):
+            return sparse.graph_op(pb.src, pb.dst, pb.w, x * vmask[:, None],
+                                   V, self.J, deg=deg)
+
+        def lgop(xl):
+            return sparse.lg_graph_op(pb.src, pb.dst, pb.w, pb.rev, emask,
+                                      xl * emask[:, None], V, self.J, dl=dl)
+
+        def pm(xl):
+            return sparse.incidence_apply(pb.src, pb.dst, emask, xl, V, False)
+
+        def pd(xl):
+            return sparse.incidence_apply(pb.src, pb.dst, emask, xl, V, True)
+
+        def pm_t(x):
+            return sparse.incidence_t_apply(pb.src, pb.dst, emask, x, False)
+
+        def pd_t(x):
+            return sparse.incidence_t_apply(pb.src, pb.dst, emask, x, True)
+
+        def pair(x1, mask, i, prefix, relu_second=False):
+            a = nn.relu(
+                nn.Dense(self.n_features, kernel_init=ref_init(),
+                         bias_init=ref_init(), name=f"layer{i}_{prefix}cv1")(x1)
+            )
+            b = nn.Dense(self.n_features, kernel_init=ref_init(),
+                         bias_init=ref_init(), name=f"layer{i}_{prefix}cv2")(x1)
+            if relu_second:
+                b = nn.relu(b)
+            z = jnp.concatenate([b, a], axis=-1)
+            return MaskedBatchNorm(
+                compat=self.compat, name=f"layer{i}_{prefix}bn"
+            )(z[None], mask[None], train)[0]
+
+        x = pb.x
+        xl = dl[:, None]
+        for i in range(self.n_layers - 1):
+            xa = gop(x)
+            xda = lgop(xl)
+
+            def node_update(edge_state, i=i, xa=xa):
+                x1 = jnp.concatenate([xa, pm(edge_state), pd(edge_state)], -1)
+                return pair(x1, vmask, i, "node_")
+
+            def edge_update(node_state, i=i, xda=xda):
+                xd1 = jnp.concatenate([xda, pm_t(node_state), pd_t(node_state)], -1)
+                return pair(xd1, emask, i, "edge_")
+
+            if self.order == 1:
+                x_new = node_update(xl)
+                xl = edge_update(x_new)
+                x = x_new
+            elif self.order == 2:
+                xl = edge_update(x)
+                x = node_update(xl)
+            else:
+                x_new = node_update(xl)
+                xl = edge_update(x)
+                x = x_new
+        x1 = jnp.concatenate([gop(x), pm(xl * emask[:, None]), pd(xl * emask[:, None])], -1)
+        y = nn.Dense(self.dim_output, kernel_init=ref_init(),
+                     bias_init=ref_init(), name="fc")(x1)
+        y = y * vmask[:, None]
+        return sparse.graph_readout(y, pb.node_gid, pb.n_graphs)
+
+
 class PackedGNN(nn.Module):
     """Power GNN over packed graphs; mirrors GNNSimple layer-for-layer."""
 
