@@ -105,9 +105,6 @@ def main():
         results[key.replace("molecules_per_s", "steps_per_s")] = 1.0 / timing.per_step_s
 
     # --- SpMM roofline: dense-block and packed-sparse -------------------
-    bundle_pw = None
-    from hgnn2_tpu.ops import dense as dense_ops
-
     adj = batch.adj
     F = 128
     x = jnp.asarray(np.random.default_rng(0).standard_normal(

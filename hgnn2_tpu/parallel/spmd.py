@@ -65,10 +65,8 @@ def replicate(mesh: Mesh, tree):
 
 def make_dp_train_step(train_step: Callable, mesh: Mesh):
     """Wrap a single-chip train step for data parallelism: the batch is
-    sharded over 'data', state replicated; XLA inserts all collectives."""
-
-    batch_spec = P("data")
-    rep = NamedSharding(mesh, P())
+    sharded over 'data' (shard_batch), state replicated (replicate); XLA
+    inserts the gradient psum and global BN statistics."""
 
     @functools.partial(jax.jit, donate_argnums=0)
     def dp_step(state, batch):
@@ -178,8 +176,11 @@ def partition_records(records, n_shards: int):
 def pad_edges_for_partition(arrays: dict, n_shards: int, num_nodes: int):
     """Pad packed edge arrays so the edge count divides n_shards.
 
-    Padding edges carry weight 0 and point at node num_nodes - 1.
-    arrays: dict with src, dst, w (+ optional extras padded with zeros).
+    Padding edges carry weight 0 and point at node num_nodes - 1; padded
+    "rev" slots are self-referential (a zero-weight edge is its own
+    reverse, matching make_packed_batch's padding convention). arrays:
+    dict with src, dst, w (+ optional rev / edge_gid / edge_mask / extras
+    padded with zeros).
     """
     c = len(arrays["src"])
     target = ((c + n_shards - 1) // n_shards) * n_shards
@@ -191,6 +192,8 @@ def pad_edges_for_partition(arrays: dict, n_shards: int, num_nodes: int):
         v = np.asarray(v)
         if k in ("src", "dst"):
             fill = np.full((pad,), num_nodes - 1, v.dtype)
+        elif k == "rev":
+            fill = np.arange(c, c + pad, dtype=v.dtype)
         else:
             fill = np.zeros((pad,) + v.shape[1:], v.dtype)
         out[k] = np.concatenate([v, fill], axis=0)

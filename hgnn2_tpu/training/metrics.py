@@ -64,9 +64,9 @@ class ExperimentLogger:
     def write_settings(self, cfg) -> None:
         with open(os.path.join(self.log_dir, "experiment.json"), "w") as f:
             if dataclasses.is_dataclass(cfg):
-                f.write(json.dumps(dataclasses.asdict(cfg), indent=2))
+                f.write(json.dumps(dataclasses.asdict(cfg), indent=2) + "\n")
             else:
-                f.write(json.dumps(cfg, indent=2))
+                f.write(json.dumps(cfg, indent=2) + "\n")
 
     def log_epoch(self, epoch: int, **metrics: float) -> dict:
         row = {"epoch": epoch, "wall_s": round(time.time() - self.t0, 2)}
@@ -81,4 +81,4 @@ class ExperimentLogger:
 
     def log_final(self, **metrics: float) -> None:
         with open(os.path.join(self.log_dir, "final.json"), "w") as f:
-            f.write(json.dumps({k: float(v) for k, v in metrics.items()}, indent=2))
+            f.write(json.dumps({k: float(v) for k, v in metrics.items()}, indent=2) + "\n")
