@@ -104,6 +104,32 @@ def main():
         results[key] = timing.throughput(ccn_bs)
         results[key.replace("molecules_per_s", "steps_per_s")] = 1.0 / timing.per_step_s
 
+    # --- CCN-2D at high K (dense synthetic graphs) ----------------------
+    # The regime of exp_ccn2_col.sh where the reference's per-vertex python
+    # (and a one-hot chi) blow up: 32-node graphs at edge density 0.9 give
+    # receptive fields K ~ 30. The index-form chi keeps memory O(V K^2).
+    rng = np.random.default_rng(7)
+    dense_recs = []
+    n_dense, n_graphs = 32, 64
+    for _ in range(n_graphs):
+        a = (rng.random((n_dense, n_dense)) < 0.9).astype(np.float32)
+        a = np.triu(a, 1)
+        a = a + a.T
+        xg = rng.standard_normal((n_dense, 3)).astype(np.float32)
+        dense_recs.append(graphs.GraphRecord(x=xg, adj=a, y=np.float32(0.1)))
+    cbk = ccn_mod.make_ccn_batch(dense_recs, vertex_capacity=n_dense * n_graphs)
+    K_high = int(cbk.nbr.shape[1])
+    # unchunked: the gather-form promotion VJP applies (see nn/ccn.py)
+    model = ccn_mod.CCN2D(hidden=2, n_layers=2)
+    state = _train_state(model, cbk, lr=1e-3)
+    step = train_lib.make_train_step("regression", 0.0, 1.0)
+    state, timing = profiling.time_scan_steps(step, state, cbk, steps=max(3, steps // 3))
+    log(f"ccn2d highK (K={K_high}, V={n_dense*n_graphs}): "
+        f"{timing.per_step_s*1e3:.2f} ms/step ({n_graphs} graphs/step)")
+    results["ccn2d_highK_K"] = K_high
+    results["ccn2d_highK_molecules_per_s"] = timing.throughput(n_graphs)
+    results["ccn2d_highK_steps_per_s"] = 1.0 / timing.per_step_s
+
     # --- SpMM roofline: dense-block and packed-sparse -------------------
     adj = batch.adj
     F = 128

@@ -49,7 +49,8 @@ def _load():
         lib.build_chi_tables.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ]
         lib.parse_xyz_atoms.restype = ctypes.c_int64
@@ -97,9 +98,11 @@ def build_line_graph_native(A: np.ndarray):
     return src[:m].copy(), dst[:m].copy(), w[:m].copy(), rev[:m].copy()
 
 
-def build_chi_tables_native(offsets, lists, K, v0, chi, nbr, deg, rmask):
-    """Fill chi/nbr/deg/rmask for one graph (see C++ docstring). Returns
-    False when the native library is unavailable."""
+def build_chi_tables_native(offsets, lists, K, v0, chi_idx, rslot, nbr, deg,
+                            rmask):
+    """Fill chi_idx/rslot/nbr/deg/rmask for one graph (see C++ docstring;
+    chi_idx and rslot must be pre-filled with -1). Returns False when the
+    native library is unavailable."""
     lib = _load()
     if lib is None:
         return False
@@ -107,7 +110,7 @@ def build_chi_tables_native(offsets, lists, K, v0, chi, nbr, deg, rmask):
     lists = np.ascontiguousarray(lists, dtype=np.int32)
     rc = lib.build_chi_tables(
         _iptr(offsets), _iptr(lists), len(offsets) - 1, K, v0,
-        _fptr(chi), _iptr(nbr), _fptr(deg), _fptr(rmask),
+        _iptr(chi_idx), _iptr(rslot), _iptr(nbr), _fptr(deg), _fptr(rmask),
     )
     if rc != 0:
         raise ValueError(f"degree exceeds K={K}")

@@ -8,8 +8,9 @@
 //   * build_line_graph:  adjacency -> directed edge list (src, dst, w, rev)
 //     with interleaved forward/reverse pairs (intended semantics, see
 //     hgnn2_tpu/operators.py).
-//   * build_chi_tables:  CSR neighbor lists -> the (V, K, K, K) one-hot chi
-//     tensor + neighbor/degree/row-mask arrays consumed by CCNBatch.
+//   * build_chi_tables:  CSR neighbor lists -> the (V, K, K) int32 chi
+//     index table (chi rows are partial permutations; -1 = no match) +
+//     neighbor/degree/row-mask arrays consumed by CCNBatch.
 //   * parse_xyz_atoms:   bulk float parsing of dsgdb9nsd atom blocks
 //     (handles the '*^' exponent notation).
 //
@@ -45,17 +46,25 @@ int64_t build_line_graph(const float* A, int64_t n, int64_t capacity,
   return m;
 }
 
-// Build the CCN chi tables for one graph whose neighbor lists are given in
-// CSR form (offsets length n+1, lists sorted ascending). Writes into the
-// GLOBAL output arrays at vertex offset v0 (flattened (V, K, ...) layout):
-//   chi   (V, K, K, K)  chi[v,k,a,b] = 1 iff list_v[a] == list_{list_v[k]}[b]
-//   nbr   (V, K)        global vertex ids (list + v0), padding left as-is
-//   deg   (V,)          list lengths
-//   rmask (V, K)        1.0 where slot < deg
+// Build the CCN chi index tables for one graph whose neighbor lists are
+// given in CSR form (offsets length n+1, lists sorted ascending). chi rows
+// are partial permutations (neighbor lists are duplicate-free), so the
+// dense one-hot is never built. Writes into the GLOBAL output arrays at
+// vertex offset v0 (flattened (V, K, ...) layout):
+//   chi_idx (V, K, K)  int32: chi_idx[v,k,a] = b iff
+//                      list_v[a] == list_{list_v[k]}[b], else left as-is
+//                      (caller pre-fills with -1)
+//   rslot   (V, K)     int32: slot of i in list_{list_v[k]}, else left
+//                      as-is (caller pre-fills with -1); drives the
+//                      gather-form promotion VJP
+//   nbr     (V, K)     global vertex ids (list + v0), padding left as-is
+//   deg     (V,)       list lengths
+//   rmask   (V, K)     1.0 where slot < deg
 // Returns 0 on success, -1 if any degree exceeds K.
 int32_t build_chi_tables(const int32_t* offsets, const int32_t* lists,
                          int64_t n, int64_t K, int64_t v0,
-                         float* chi, int32_t* nbr, float* deg, float* rmask) {
+                         int32_t* chi_idx, int32_t* rslot, int32_t* nbr,
+                         float* deg, float* rmask) {
   for (int64_t i = 0; i < n; ++i) {
     int64_t start = offsets[i], end = offsets[i + 1];
     int64_t d = end - start;
@@ -67,23 +76,34 @@ int32_t build_chi_tables(const int32_t* offsets, const int32_t* lists,
       nbr[v * K + k] = li[k] + (int32_t)v0;
       rmask[v * K + k] = 1.0f;
     }
-    float* chi_v = chi + v * K * K * K;
+    int32_t* ci_v = chi_idx + v * K * K;
     for (int64_t k = 0; k < d; ++k) {
       int32_t j = li[k];
       int64_t js = offsets[j], je = offsets[j + 1];
       const int32_t* lj = lists + js;
       int64_t dj = je - js;
-      float* chi_vk = chi_v + k * K * K;
-      // merge-intersect two sorted lists: chi[a, b] = 1 iff li[a] == lj[b]
+      int32_t* ci_vk = ci_v + k * K;
+      // merge-intersect two sorted lists: ci[a] = b iff li[a] == lj[b];
+      // the slot of i itself in lj is rslot (i in lj iff the graph is
+      // symmetric, which the builder guarantees)
       int64_t a = 0, b = 0;
       while (a < d && b < dj) {
         if (li[a] == lj[b]) {
-          chi_vk[a * K + b] = 1.0f;
+          ci_vk[a] = (int32_t)b;
           ++a; ++b;
         } else if (li[a] < lj[b]) {
           ++a;
         } else {
           ++b;
+        }
+      }
+      for (int64_t lo = 0, hi = dj; lo < hi;) {
+        int64_t mid = (lo + hi) / 2;
+        if (lj[mid] < (int32_t)i) {
+          lo = mid + 1;
+        } else {
+          if (lj[mid] == (int32_t)i) rslot[v * K + k] = (int32_t)mid;
+          hi = mid;
         }
       }
     }

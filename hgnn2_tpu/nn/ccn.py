@@ -7,9 +7,13 @@ degree-padded tensor program over every vertex of every graph in a batch:
   * per-vertex ragged states F_i of shape (d_i, ch) / (d_i, d_i, ch)
     become (V, K, ch) / (V, K, K, ch) with K = padded receptive-field size
     and a row mask;
-  * the chi matrices for every (vertex, neighbor) pair are precomputed on
-    the host into a (V, K, K, K) one-hot tensor (ccn batch builder below),
-    so promotion is a batched einsum;
+  * the chi matrices for every (vertex, neighbor) pair are partial
+    permutations (each row has at most one 1), so they are precomputed on
+    the host as an INDEX table chi_idx (V, K, K) int32 — O(K^2) per vertex
+    instead of the O(K^3) one-hot — and promotion is a fused gather
+    (ops/contractions.promote_1d/promote_2d), which keeps memory and work
+    polynomially smaller on high-degree graphs (K in the tens on the dense
+    synthetic exp_ccn2_col.sh regime);
   * the 18 contractions are the fused closed forms of
     ops/contractions.contract_18 (chi_ii == identity).
 
@@ -45,10 +49,15 @@ class CCNBatch:
     x:        (V, F) raw node features
     nbr:      (V, K) int32 global vertex index of each neighbor (self-loop
               included when add_self_loops; padding slots point at 0 but
-              carry all-zero chi so they contribute nothing)
-    chi:      (V, K, K, K) float32 — chi[v,k,a,b] = 1 iff
-              nbrs[v][a] == nbrs[nbr[v,k]][b]  (reference _get_chi,
-              utils_ccn.py:66-106, vectorized)
+              carry chi_idx = -1 so they contribute nothing)
+    chi_idx:  (V, K, K) int32 — the index form of the chi matrices
+              (reference _get_chi, utils_ccn.py:66-106): chi_idx[v,k,a] = b
+              iff nbrs[v][a] == nbrs[nbr[v,k]][b], else -1. chi rows are
+              partial permutations so this is lossless, and promotion
+              becomes a gather instead of a one-hot matmul.
+    rslot:    (V, K) int32 — slot of v in its k-th neighbor's own list
+              (-1 at padding); lets the promotion VJP run as a gather
+              instead of a scatter-add (ops/contractions.py).
     deg:      (V,) float32 true receptive-field size d_v
     row_mask: (V, K) 1.0 where slot < d_v
     vmask:    (V,) 1.0 for real vertices
@@ -59,7 +68,8 @@ class CCNBatch:
 
     x: jnp.ndarray
     nbr: jnp.ndarray
-    chi: jnp.ndarray
+    chi_idx: jnp.ndarray
+    rslot: jnp.ndarray
     deg: jnp.ndarray
     row_mask: jnp.ndarray
     vmask: jnp.ndarray
@@ -106,7 +116,8 @@ def make_ccn_batch(
     F = records[0].x.shape[1]
     x = np.zeros((V, F), dtype=np.float32)
     nbr = np.zeros((V, K), dtype=np.int32)
-    chi = np.zeros((V, K, K, K), dtype=np.float32)
+    chi_idx = np.full((V, K, K), -1, dtype=np.int32)
+    rslot = np.full((V, K), -1, dtype=np.int32)
     deg = np.zeros((V,), dtype=np.float32)
     row_mask = np.zeros((V, K), dtype=np.float32)
     vmask = np.zeros((V,), dtype=np.float32)
@@ -126,31 +137,42 @@ def make_ccn_batch(
         x[off : off + n] = r.x
         gid[off : off + n] = g
         vmask[off : off + n] = 1.0
+        degs = np.array([len(l) for l in lists], dtype=np.int32)
         if use_native:
             offsets = np.zeros(n + 1, np.int32)
-            np.cumsum([len(l) for l in lists], out=offsets[1:])
+            np.cumsum(degs, out=offsets[1:])
             flat = (
                 np.concatenate(lists).astype(np.int32)
                 if lists
                 else np.zeros(0, np.int32)
             )
             native.build_chi_tables_native(
-                offsets, flat, K, off, chi, nbr, deg, row_mask
+                offsets, flat, K, off, chi_idx, rslot, nbr, deg, row_mask
             )
         else:
+            # vectorized chi_idx[v,k,a] = pos of lists[v][a] in
+            # lists[lists[v][k]], else -1 (reference _get_chi semantics)
+            L = np.full((n, K), -1, dtype=np.int64)
             for i, li in enumerate(lists):
-                d = len(li)
-                if d > K:
-                    raise ValueError(f"degree {d} exceeds K={K}")
-                v = off + i
-                deg[v] = d
-                row_mask[v, :d] = 1.0
-                nbr[v, :d] = li + off
-                for k, j in enumerate(li):
-                    lj = lists[j]
-                    # chi[a, b] = 1 iff li[a] == lj[b]
-                    eq = li[:, None] == lj[None, :]
-                    chi[v, k, :d, : len(lj)] = eq.astype(np.float32)
+                if len(li) > K:
+                    raise ValueError(f"degree {len(li)} exceeds K={K}")
+                L[i, : len(li)] = li
+            pos = np.full((n, n), -1, dtype=np.int32)
+            if degs.sum():
+                u_idx = np.repeat(np.arange(n), degs)
+                pos[u_idx, np.concatenate(lists)] = np.concatenate(
+                    [np.arange(d) for d in degs]
+                )
+            safe = np.where(L >= 0, L, 0)
+            ci = pos[safe[:, :, None], safe[:, None, :]]  # (n, K, K)
+            invalid = (L[:, :, None] < 0) | (L[:, None, :] < 0)
+            chi_idx[off : off + n] = np.where(invalid, -1, ci)
+            # rslot[v, k] = slot of v in lists[L[v, k]]
+            rs = pos[safe, np.arange(n)[:, None]]
+            rslot[off : off + n] = np.where(L >= 0, rs, -1)
+            deg[off : off + n] = degs
+            row_mask[off : off + n] = (L >= 0).astype(np.float32)
+            nbr[off : off + n] = np.where(L >= 0, L + off, 0).astype(np.int32)
         off += n
         ys.append(r.y if task is None else r.y[task])
     y = np.stack([np.asarray(t) for t in ys], axis=0)
@@ -163,7 +185,8 @@ def make_ccn_batch(
     return CCNBatch(
         x=jnp.asarray(x),
         nbr=jnp.asarray(nbr),
-        chi=jnp.asarray(chi),
+        chi_idx=jnp.asarray(chi_idx),
+        rslot=jnp.asarray(rslot),
         deg=jnp.asarray(deg),
         row_mask=jnp.asarray(row_mask),
         vmask=jnp.asarray(vmask),
@@ -197,7 +220,7 @@ class CCN1D(nn.Module):
         f = cb.x[:, None, :] * cb.row_mask[:, :, None]  # (V, K, F)
         layer_sums = [self._readout(f, cb)]
         for i in range(self.n_layers):
-            t = contractions.promote_1d(cb.chi, cb.nbr, f)
+            t = contractions.promote_1d(cb.chi_idx, cb.nbr, f, rslot=cb.rslot)
             z = contractions.contract_1d(t)  # (V, K, 2C)
             z = nn.Dense(
                 self.hidden, kernel_init=ref_init(), bias_init=ref_init(),
@@ -225,7 +248,11 @@ class CCN2D(nn.Module):
     vertex_chunks > 1 evaluates each layer in vertex chunks via lax.map so
     the (V, K, K, K, C) promotion tensor never materializes whole — needed
     for dense synthetic graphs where K grows to tens (the reference's
-    exp_ccn2_col.sh configuration). Results are identical (tests).
+    exp_ccn2_col.sh configuration). Results are identical (tests). The
+    chunked path uses the autodiff (scatter) promotion backward — a chunk's
+    cotangent covers only its own vertices, so the gather-form VJP (which
+    enumerates readers per source vertex) only applies unchunked; prefer
+    vertex_chunks=1 whenever the promotion tensor fits.
     """
 
     hidden: int = 2
@@ -245,7 +272,8 @@ class CCN2D(nn.Module):
                 name=f"w{i+1}",
             )
             if self.vertex_chunks <= 1:
-                t = contractions.promote_2d(cb.chi, cb.nbr, f)
+                t = contractions.promote_2d(cb.chi_idx, cb.nbr, f,
+                                            rslot=cb.rslot)
                 z = contractions.contract_18(
                     t, cb.deg, cb.row_mask, compat=self.compat_contractions
                 )  # (V, K, K, 18C)
@@ -264,7 +292,7 @@ class CCN2D(nn.Module):
         if v % n_chunks:
             raise ValueError(f"vertex count {v} not divisible by {n_chunks}")
         vc = v // n_chunks
-        k = cb.chi.shape[1]
+        k = cb.chi_idx.shape[1]
         # create the params eagerly (outside lax.map) with standard names
         zeros = jnp.zeros((1, k, k, 18 * f.shape[-1]), f.dtype)
         dense(zeros)
@@ -278,7 +306,7 @@ class CCN2D(nn.Module):
             return nn.relu(dense(z)) * m2_c[..., None]
 
         chunks = (
-            cb.chi.reshape(n_chunks, vc, *cb.chi.shape[1:]),
+            cb.chi_idx.reshape(n_chunks, vc, *cb.chi_idx.shape[1:]),
             cb.nbr.reshape(n_chunks, vc, -1),
             cb.deg.reshape(n_chunks, vc),
             cb.row_mask.reshape(n_chunks, vc, -1),

@@ -113,6 +113,66 @@ def _single_record(rng, n, F=3, p=0.6):
     return graphs.GraphRecord(x=x, adj=A, y=np.float32(0.5))
 
 
+@pytest.mark.parametrize("n,p", [(6, 0.5), (10, 0.9), (14, 0.3)])
+def test_index_promotion_matches_onehot(rng, n, p):
+    """The gather-form promotion (chi_idx) equals the one-hot einsum form
+    for both orders, including padding slots, on random graphs."""
+    r = _single_record(rng, n, F=2, p=p)
+    cb = ccn.make_ccn_batch([r], k_max=n + 2, vertex_capacity=n + 3)
+    chi = contractions.chi_onehot(cb.chi_idx)
+
+    f1 = jnp.asarray(
+        rng.standard_normal((*cb.nbr.shape, 2)).astype(np.float32)
+    ) * cb.row_mask[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(contractions.promote_1d(cb.chi_idx, cb.nbr, f1)),
+        np.asarray(contractions.promote_1d_onehot(chi, cb.nbr, f1)),
+        atol=1e-6,
+    )
+
+    K = cb.nbr.shape[1]
+    mask2 = cb.row_mask[:, :, None] * cb.row_mask[:, None, :]
+    f2 = jnp.asarray(
+        rng.standard_normal((cb.x.shape[0], K, K, 2)).astype(np.float32)
+    ) * mask2[..., None]
+    np.testing.assert_allclose(
+        np.asarray(contractions.promote_2d(cb.chi_idx, cb.nbr, f2)),
+        np.asarray(contractions.promote_2d_onehot(chi, cb.nbr, f2)),
+        atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("n,p", [(7, 0.6), (11, 0.9)])
+def test_promotion_gather_vjp_matches_autodiff(rng, n, p):
+    """The gather-form custom VJP (rslot path) equals the plain autodiff
+    (scatter) backward of the promotion for both orders."""
+    r = _single_record(rng, n, F=2, p=p)
+    cb = ccn.make_ccn_batch([r], k_max=n + 2, vertex_capacity=n + 3)
+    V, K = cb.x.shape[0], cb.nbr.shape[1]
+
+    w1 = jnp.asarray(rng.standard_normal((V, K, K, 2)).astype(np.float32))
+    f1 = jnp.asarray(rng.standard_normal((V, K, 2)).astype(np.float32))
+    g_plain = jax.grad(
+        lambda f: (contractions.promote_1d(cb.chi_idx, cb.nbr, f) * w1).sum()
+    )(f1)
+    g_cv = jax.grad(
+        lambda f: (contractions.promote_1d(
+            cb.chi_idx, cb.nbr, f, rslot=cb.rslot) * w1).sum()
+    )(f1)
+    np.testing.assert_allclose(np.asarray(g_cv), np.asarray(g_plain), atol=1e-5)
+
+    w2 = jnp.asarray(rng.standard_normal((V, K, K, K, 2)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((V, K, K, 2)).astype(np.float32))
+    g_plain = jax.grad(
+        lambda f: (contractions.promote_2d(cb.chi_idx, cb.nbr, f) * w2).sum()
+    )(f2)
+    g_cv = jax.grad(
+        lambda f: (contractions.promote_2d(
+            cb.chi_idx, cb.nbr, f, rslot=cb.rslot) * w2).sum()
+    )(f2)
+    np.testing.assert_allclose(np.asarray(g_cv), np.asarray(g_plain), atol=1e-5)
+
+
 def test_promotion_matches_reference(reference_ccn_utils, rng):
     import torch
     CompnetUtils = reference_ccn_utils
@@ -131,7 +191,7 @@ def test_promotion_matches_reference(reference_ccn_utils, rng):
         d = int(cb.deg[i])
         np.testing.assert_allclose(f0[i, :d, :d], F0[i].numpy(), atol=1e-6)
 
-    t = np.asarray(contractions.promote_2d(cb.chi, cb.nbr, jnp.asarray(f0)))
+    t = np.asarray(contractions.promote_2d(cb.chi_idx, cb.nbr, jnp.asarray(f0)))
     for i in range(6):
         Ti = util.get_nbr_promotions(F0, i).detach().numpy()  # (d, d, d, C)
         d = Ti.shape[0]
@@ -213,7 +273,7 @@ def test_ccn_permutation_invariance(rng):
     rp = graphs.GraphRecord(x=r.x[perm], adj=r.adj[perm][:, perm], y=r.y)
     model = ccn.CCN2D(hidden=2, n_layers=2, dim_output=1)
     cb1 = ccn.make_ccn_batch([r])
-    cb2 = ccn.make_ccn_batch([rp], k_max=int(cb1.chi.shape[1]))
+    cb2 = ccn.make_ccn_batch([rp], k_max=int(cb1.chi_idx.shape[1]))
     variables = model.init(jax.random.key(2), cb1, train=True)
     o1 = np.asarray(model.apply(variables, cb1, train=True))
     o2 = np.asarray(model.apply(variables, cb2, train=True))

@@ -111,5 +111,5 @@ def test_ccn_loader_masks():
     for cb in loader:
         assert cb.y.shape[0] == 8
         tot += int(np.asarray(cb.gmask).sum())
-        assert cb.chi.shape[1] == loader.k_max
+        assert cb.chi_idx.shape[1] == loader.k_max
     assert tot == 20

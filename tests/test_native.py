@@ -33,7 +33,9 @@ def test_native_chi_tables_match_python(rng, monkeypatch):
     cb_python = ccn.make_ccn_batch(recs, k_max=6)
 
     np.testing.assert_array_equal(np.asarray(cb_native.nbr), np.asarray(cb_python.nbr))
-    np.testing.assert_array_equal(np.asarray(cb_native.chi), np.asarray(cb_python.chi))
+    np.testing.assert_array_equal(
+        np.asarray(cb_native.chi_idx), np.asarray(cb_python.chi_idx)
+    )
     np.testing.assert_array_equal(np.asarray(cb_native.deg), np.asarray(cb_python.deg))
     np.testing.assert_array_equal(
         np.asarray(cb_native.row_mask), np.asarray(cb_python.row_mask)
