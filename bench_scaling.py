@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--avg_degree", type=int, default=16)
     ap.add_argument("--features", type=int, default=128)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--molecules", type=int, default=1024,
+                    help="molecule count for the full LGGNN train-step runs")
     args = ap.parse_args()
 
     import jax
@@ -112,8 +114,119 @@ def main():
         results["devices"][d]["local_efficiency_vs_linear"] = eff
         log(f"{d} devices: {eps:,.0f} edges/s, efficiency {eff:.2%}")
 
+    # --- full LGGNN train steps (model-level scaling, not a bare op) ------
+    import optax
+
+    from hgnn2_tpu import graphs as graphs_lib
+    from hgnn2_tpu.data import qm9
+    from hgnn2_tpu.nn import packed
+
+    records = qm9.synthetic_qm9_like(args.molecules, seed=1)
+    tot_e = sum(r.line_graph().num_edges for r in records)
+    tot_v = sum(r.n_nodes for r in records)
+    results["lggnn"] = {"molecules": args.molecules, "dir_edges": tot_e,
+                        "devices": {}}
+    tx = optax.sgd(1e-3)
+
+    # (a) molecule-aligned shards: zero comm per operator apply
+    log("LGGNN train step, molecule-aligned shards:")
+    base_mol = None
+    for d in counts:
+        mesh = Mesh(np.array(jax.devices()[:d]).reshape(1, d), ("data", "edge"))
+        vcap = -(-tot_v // d) + 32
+        ecap = -(-tot_e // d) + 32
+        stacked = spmd.make_packed_shards(
+            records, d, node_capacity=vcap, edge_capacity=ecap,
+            graphs_per_shard=-(-args.molecules // d) + 8, task=0,
+        )
+        model = packed.PackedLGGNN(n_features=8, n_layers=3, J=1, order=2,
+                                   bn_axis="edge")
+        # init outside shard_map: use the axis-free twin (same params)
+        init_model = packed.PackedLGGNN(n_features=8, n_layers=3, J=1, order=2)
+        with jax.sharding.set_mesh(mesh):
+            local0 = jax.tree_util.tree_map(lambda v: v[0], stacked)
+            variables = init_model.init(jax.random.key(0), local0, train=True)
+            params = variables["params"]
+            rest = {k: v for k, v in variables.items() if k != "params"}
+            loss_fn = spmd.sharded_packed_loss(model, mesh)
+            opt_state = tx.init(params)
+
+            @jax.jit
+            def step(params, opt_state, stacked):
+                loss, grads = jax.value_and_grad(
+                    lambda p: loss_fn({"params": p, **rest}, stacked)
+                )(params)
+                updates, opt_state = tx.update(grads, opt_state)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            timing = profiling.time_steps(step, params, opt_state, stacked,
+                                          steps=args.steps)
+        eps = tot_e / timing.per_step_s
+        if base_mol is None:
+            base_mol = eps
+        eff = eps / (d * base_mol)
+        row = results["lggnn"]["devices"].setdefault(d, {})
+        row["molecule_aligned_edges_per_s"] = eps
+        row["molecule_aligned_efficiency"] = eff
+        row["molecule_aligned_comm_bytes_per_step"] = 0.0
+        log(f"{d} devices: {eps:,.0f} edges/s, efficiency {eff:.2%}, 0 comm B")
+
+    # (b) replicated-state + psum partitioning: general graphs
+    log("LGGNN train step, edge-partitioned (psum) over one packed batch:")
+    base_ps = None
+    pbig = graphs_lib.make_packed_batch(
+        records,
+        node_capacity=((tot_v + 63) // 64) * 64,
+        edge_capacity=((tot_e + 63) // 64) * 64,
+        task=0,
+    )
+    for d in counts:
+        mesh = Mesh(np.array(jax.devices()[:d]).reshape(1, d), ("data", "edge"))
+        if pbig.src.shape[0] % d:
+            continue
+        model = packed.PackedLGGNN(n_features=8, n_layers=3, J=1, order=2)
+        with jax.sharding.set_mesh(mesh):
+            ops = spmd.partitioned_packed_ops(mesh, pbig, J=1)
+            variables = model.init(jax.random.key(0), pbig, train=True,
+                                   ops=ops)
+            params = variables["params"]
+            rest = {k: v for k, v in variables.items() if k != "params"}
+
+            def loss(p):
+                out, _ = model.apply({"params": p, **rest}, pbig, train=True,
+                                     ops=ops, mutable=["batch_stats"])
+                per = (out[:, 0] - pbig.y) ** 2
+                return (per * pbig.gmask).sum() / pbig.gmask.sum()
+
+            opt_state = tx.init(params)
+
+            @jax.jit
+            def step(params, opt_state):
+                l, grads = jax.value_and_grad(loss)(params)
+                updates, opt_state = tx.update(grads, opt_state)
+                return optax.apply_updates(params, updates), opt_state, l
+
+            ops.psum_widths.clear()  # count one forward's collectives only
+            _ = jax.eval_shape(loss, params)
+            acct = ops.comm_bytes_per_step()
+            timing = profiling.time_steps(step, params, opt_state,
+                                          steps=args.steps)
+        eps = tot_e / timing.per_step_s
+        if base_ps is None:
+            base_ps = eps
+        eff = eps / (d * base_ps)
+        row = results["lggnn"]["devices"].setdefault(d, {})
+        row["psum_edges_per_s"] = eps
+        row["psum_efficiency"] = eff
+        row["psum_comm_bytes_per_step"] = acct["train_step_bytes_per_chip"]
+        row["psum_allreduces_fwd"] = acct["n_allreduce_fwd"]
+        log(f"{d} devices: {eps:,.0f} edges/s, efficiency {eff:.2%}, "
+            f"{acct['train_step_bytes_per_chip']/1e6:.1f} MB/step/chip "
+            f"({acct['n_allreduce_fwd']} fwd all-reduces)")
+
     with open("BENCH_SCALING.json", "w") as fjson:
         json.dump(results, fjson, indent=2, default=float)
+        fjson.write("\n")
     log("wrote BENCH_SCALING.json")
 
 

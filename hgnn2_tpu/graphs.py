@@ -202,6 +202,7 @@ class PackedGraphBatch:
     edge_gid: (C,) int32 graph id per edge (B at padding)
     edge_mask:(C,)
     y:        (B,) targets
+    gmask:    (B,) 1.0 for real graphs (0 for batch-size padding)
     n_graphs: static int (B)
     """
 
@@ -215,6 +216,7 @@ class PackedGraphBatch:
     edge_gid: jnp.ndarray
     edge_mask: jnp.ndarray
     y: jnp.ndarray
+    gmask: jnp.ndarray = None
     n_graphs: int = struct.field(pytree_node=False, default=0)
 
     @property
@@ -231,9 +233,16 @@ def make_packed_batch(
     node_capacity: int | None = None,
     edge_capacity: int | None = None,
     task: int | None = None,
+    batch_size: int | None = None,
 ) -> PackedGraphBatch:
-    """Pack many graphs into flat arrays with static capacities."""
-    B = len(records)
+    """Pack many graphs into flat arrays with static capacities.
+
+    batch_size pads the graph axis with empty graphs (gmask 0) so bucketed
+    or sharded execution reuses one compiled program."""
+    bs = len(records)
+    B = batch_size or bs
+    if bs > B:
+        raise ValueError(f"{bs} records exceed batch_size {B}")
     tot_n = sum(r.n_nodes for r in records)
     lgs = [r.line_graph() for r in records]
     tot_m = sum(lg.num_edges for lg in lgs)
@@ -275,6 +284,10 @@ def make_packed_batch(
     y = np.stack([np.asarray(t) for t in ys], axis=0)
     if not np.issubdtype(y.dtype, np.integer):
         y = y.astype(np.float32)
+    if B > bs:
+        y = np.concatenate([y, np.zeros((B - bs,) + y.shape[1:], y.dtype)])
+    gmask = np.zeros((B,), np.float32)
+    gmask[:bs] = 1.0
     return PackedGraphBatch(
         x=jnp.asarray(x),
         node_gid=jnp.asarray(node_gid),
@@ -286,5 +299,6 @@ def make_packed_batch(
         edge_gid=jnp.asarray(edge_gid),
         edge_mask=jnp.asarray(edge_mask),
         y=jnp.asarray(y),
+        gmask=jnp.asarray(gmask),
         n_graphs=B,
     )

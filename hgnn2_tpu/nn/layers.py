@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -66,6 +67,11 @@ class MaskedBatchNorm(nn.Module):
     momentum: float = 0.1
     eps: float = 1e-5
     compat: CompatConfig = CompatConfig()
+    # mesh axis to reduce statistics over when the module runs inside a
+    # shard_map (molecule-aligned sharding, parallel/spmd.py): two tiny
+    # psums of (F,) stats replace any per-apply feature exchange, keeping
+    # sharded training bit-compatible (up to fp reorder) with single-chip
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -88,10 +94,18 @@ class MaskedBatchNorm(nn.Module):
 
         hm = h * mask[..., None]
         if train:
-            count = jnp.maximum(mask.sum(), 1.0)
-            mean = hm.sum(axis=(0, 1)) / count
+            count = mask.sum()
+            total = hm.sum(axis=(0, 1))
+            if self.axis_name is not None:
+                count = jax.lax.psum(count, self.axis_name)
+                total = jax.lax.psum(total, self.axis_name)
+            count = jnp.maximum(count, 1.0)
+            mean = total / count
             centered = (hm - mean) * mask[..., None]
-            var = self.eps + (centered**2).sum(axis=(0, 1)) / count
+            sq = (centered**2).sum(axis=(0, 1))
+            if self.axis_name is not None:
+                sq = jax.lax.psum(sq, self.axis_name)
+            var = self.eps + sq / count
             std = jnp.sqrt(var)
             if not self.is_initializing():
                 ra_mean.value = (1.0 - self.momentum) * mean + self.momentum * ra_mean.value

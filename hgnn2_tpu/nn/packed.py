@@ -1,10 +1,12 @@
 """Packed-sparse GNN: the scalable path over flat node/edge arrays.
 
-Same math as models.GNNSimple but over a PackedGraphBatch (segment-sum
-aggregation, no dense blocks) with a pluggable aggregation function so the
-identical module runs single-chip (ops.sparse) or edge-partitioned across
-a mesh (parallel.spmd.partitioned_graph_op). This is the layout for graphs
-too large for dense blocks and for multi-chip edge sharding.
+Same math as models.GNNSimple / models.GNNLineGraph but over a
+PackedGraphBatch (segment-sum aggregation, no dense blocks) with a
+pluggable operator bundle so the identical modules run single-chip
+(SparsePackedOps over ops.sparse) or edge-partitioned across a mesh
+(parallel.spmd.partitioned_packed_ops / partitioned_graph_op). This is
+the layout for graphs too large for dense blocks and for multi-chip edge
+sharding.
 """
 
 from __future__ import annotations
@@ -19,12 +21,67 @@ from hgnn2_tpu.nn.layers import CompatConfig, MaskedBatchNorm, ref_init
 from hgnn2_tpu.ops import sparse
 
 
+class SparsePackedOps:
+    """Single-chip operator bundle over a PackedGraphBatch.
+
+    The interface the packed models are written against (graph_op /
+    lg_graph_op / pm / pd / pm_t / pd_t — the sparse twin of
+    nn/bundles.DenseBundle). parallel/spmd.partitioned_packed_ops provides
+    the same interface with the edge set sharded across a mesh axis.
+    """
+
+    def __init__(self, pb: PackedGraphBatch, J: int):
+        self.pb = pb
+        self.J = J
+        self.V = pb.num_node_slots
+        self.deg = sparse.degrees(pb.src, pb.w, self.V)
+        self.dl = sparse.nb_degrees(
+            pb.src, pb.dst, pb.w, pb.rev, pb.edge_mask, self.V
+        )
+
+    def graph_op(self, x: jnp.ndarray) -> jnp.ndarray:
+        pb = self.pb
+        return sparse.graph_op(pb.src, pb.dst, pb.w, x, self.V, self.J,
+                               deg=self.deg)
+
+    def lg_graph_op(self, xl: jnp.ndarray) -> jnp.ndarray:
+        pb = self.pb
+        return sparse.lg_graph_op(pb.src, pb.dst, pb.w, pb.rev, pb.edge_mask,
+                                  xl, self.V, self.J, dl=self.dl)
+
+    def pm(self, xl: jnp.ndarray) -> jnp.ndarray:
+        pb = self.pb
+        return sparse.incidence_apply(pb.src, pb.dst, pb.edge_mask, xl,
+                                      self.V, False)
+
+    def pd(self, xl: jnp.ndarray) -> jnp.ndarray:
+        pb = self.pb
+        return sparse.incidence_apply(pb.src, pb.dst, pb.edge_mask, xl,
+                                      self.V, True)
+
+    def pm_t(self, x: jnp.ndarray) -> jnp.ndarray:
+        pb = self.pb
+        return sparse.incidence_t_apply(pb.src, pb.dst, pb.edge_mask, x, False)
+
+    def pd_t(self, x: jnp.ndarray) -> jnp.ndarray:
+        pb = self.pb
+        return sparse.incidence_t_apply(pb.src, pb.dst, pb.edge_mask, x, True)
+
+    def nb_degrees(self) -> jnp.ndarray:
+        return self.dl
+
+
 class PackedLGGNN(nn.Module):
     """Line-graph GNN over packed graphs; mirrors GNNLineGraph
     layer-for-layer using segment-sum aggregation (ops/sparse.py): the NB
     operator, incidence maps Pm/Pd and their transposes all run as
     gather/scatter over the flat edge arrays — the layout for graphs whose
-    dense (B, M, M) blocks would not fit."""
+    dense (B, M, M) blocks would not fit.
+
+    ops: operator bundle (default SparsePackedOps; pass
+    spmd.partitioned_packed_ops(...) for edge-partitioned execution).
+    bn_axis: mesh axis for BatchNorm statistics when the module runs
+    inside a shard_map (molecule-aligned sharding)."""
 
     n_features: int
     n_layers: int
@@ -32,34 +89,23 @@ class PackedLGGNN(nn.Module):
     J: int = 1
     order: int = 1
     compat: CompatConfig = CompatConfig()
+    bn_axis: str | None = None
 
     @nn.compact
-    def __call__(self, pb: PackedGraphBatch, train: bool = True) -> jnp.ndarray:
-        V = pb.num_node_slots
-        deg = sparse.degrees(pb.src, pb.w, V)
-        dl = sparse.nb_degrees(pb.src, pb.dst, pb.w, pb.rev, pb.edge_mask, V)
+    def __call__(
+        self, pb: PackedGraphBatch, train: bool = True, ops=None
+    ) -> jnp.ndarray:
+        if ops is None:
+            ops = SparsePackedOps(pb, self.J)
+        dl = ops.nb_degrees()
         vmask = pb.node_mask
         emask = pb.edge_mask
 
         def gop(x):
-            return sparse.graph_op(pb.src, pb.dst, pb.w, x * vmask[:, None],
-                                   V, self.J, deg=deg)
+            return ops.graph_op(x * vmask[:, None])
 
         def lgop(xl):
-            return sparse.lg_graph_op(pb.src, pb.dst, pb.w, pb.rev, emask,
-                                      xl * emask[:, None], V, self.J, dl=dl)
-
-        def pm(xl):
-            return sparse.incidence_apply(pb.src, pb.dst, emask, xl, V, False)
-
-        def pd(xl):
-            return sparse.incidence_apply(pb.src, pb.dst, emask, xl, V, True)
-
-        def pm_t(x):
-            return sparse.incidence_t_apply(pb.src, pb.dst, emask, x, False)
-
-        def pd_t(x):
-            return sparse.incidence_t_apply(pb.src, pb.dst, emask, x, True)
+            return ops.lg_graph_op(xl * emask[:, None])
 
         def pair(x1, mask, i, prefix, relu_second=False):
             a = nn.relu(
@@ -72,7 +118,8 @@ class PackedLGGNN(nn.Module):
                 b = nn.relu(b)
             z = jnp.concatenate([b, a], axis=-1)
             return MaskedBatchNorm(
-                compat=self.compat, name=f"layer{i}_{prefix}bn"
+                compat=self.compat, axis_name=self.bn_axis,
+                name=f"layer{i}_{prefix}bn",
             )(z[None], mask[None], train)[0]
 
         x = pb.x
@@ -82,11 +129,15 @@ class PackedLGGNN(nn.Module):
             xda = lgop(xl)
 
             def node_update(edge_state, i=i, xa=xa):
-                x1 = jnp.concatenate([xa, pm(edge_state), pd(edge_state)], -1)
+                x1 = jnp.concatenate(
+                    [xa, ops.pm(edge_state), ops.pd(edge_state)], -1
+                )
                 return pair(x1, vmask, i, "node_")
 
             def edge_update(node_state, i=i, xda=xda):
-                xd1 = jnp.concatenate([xda, pm_t(node_state), pd_t(node_state)], -1)
+                xd1 = jnp.concatenate(
+                    [xda, ops.pm_t(node_state), ops.pd_t(node_state)], -1
+                )
                 return pair(xd1, emask, i, "edge_")
 
             if self.order == 1:
@@ -100,7 +151,8 @@ class PackedLGGNN(nn.Module):
                 x_new = node_update(xl)
                 xl = edge_update(x)
                 x = x_new
-        x1 = jnp.concatenate([gop(x), pm(xl * emask[:, None]), pd(xl * emask[:, None])], -1)
+        xm = xl * emask[:, None]
+        x1 = jnp.concatenate([gop(x), ops.pm(xm), ops.pd(xm)], -1)
         y = nn.Dense(self.dim_output, kernel_init=ref_init(),
                      bias_init=ref_init(), name="fc")(x1)
         y = y * vmask[:, None]
@@ -115,6 +167,7 @@ class PackedGNN(nn.Module):
     dim_output: int = 1
     J: int = 1
     compat: CompatConfig = CompatConfig()
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -143,9 +196,9 @@ class PackedGNN(nn.Module):
                          name=f"layer{i}_cv2")(h)
             )
             z = jnp.concatenate([b, a], axis=-1)
-            x = MaskedBatchNorm(compat=self.compat, name=f"layer{i}_bn")(
-                z[None], vmask[None], train
-            )[0]
+            x = MaskedBatchNorm(
+                compat=self.compat, axis_name=self.bn_axis, name=f"layer{i}_bn"
+            )(z[None], vmask[None], train)[0]
         h = graph_op_fn(x * vmask[:, None])
         y = nn.Dense(
             self.dim_output, kernel_init=ref_init(), bias_init=ref_init(), name="fc"

@@ -159,6 +159,214 @@ def local_partitioned_spmm(mesh: Mesh, nodes_per_shard: int):
     )
 
 
+def partitioned_packed_ops(
+    mesh: Mesh,
+    pb,
+    J: int,
+    use_ring: bool = False,
+    ring_interpret: bool = False,
+):
+    """Edge-partitioned implementation of the SparsePackedOps interface
+    (nn/packed.py) for a full PackedLGGNN/PackedGNN training step.
+
+    Edges are sharded over the 'edge' mesh axis; node and edge feature
+    states stay replicated. Every operator application whose output lives
+    on nodes is one shard-local segment-sum + one all-reduce of the (V, F)
+    node block over 'edge'; purely per-edge arithmetic (the NB operator's
+    reverse-edge correction, Pm^T/Pd^T gathers) is elementwise on
+    replicated arrays and costs no communication. Comm per apply =
+    psum of V*F floats (see comm_bytes_per_step).
+
+    use_ring swaps lax.psum for the Pallas RDMA ring all-reduce
+    (ops/pallas/ring.ring_psum); requires a mesh whose only non-trivial
+    axis is 'edge' (LOGICAL device ids address a single-axis ring).
+    """
+    num_nodes = pb.num_node_slots
+    axis_size = mesh.shape["edge"]
+    if use_ring and len(mesh.axis_names) != 1:
+        # pallas RDMA LOGICAL device ids address a single named axis only
+        raise ValueError("ring psum needs a single-axis ('edge',) mesh")
+
+    def _reduce(x):
+        if use_ring:
+            from hgnn2_tpu.ops.pallas.ring import ring_psum
+
+            return ring_psum(x, "edge", axis_size, interpret=ring_interpret)
+        return jax.lax.psum(x, "edge")
+
+    def _seg_local(idx, vals):
+        return _reduce(jax.ops.segment_sum(vals, idx, num_segments=num_nodes))
+
+    _seg = shard_map(
+        _seg_local,
+        mesh=mesh,
+        in_specs=(P("edge"), P("edge")),
+        out_specs=P(),
+        check_rep=False,
+    )
+
+    class _Ops:
+        def __init__(self):
+            # every node-block all-reduce is logged (trace-time) so comm
+            # volume per step is exact, not estimated
+            self.psum_widths: list[int] = []
+            # degree once per bundle (replicated); NB degree derives from
+            # it with no extra collective: nb_deg[e] = deg[dst(e)] - w(rev)
+            self.deg = self._seg(pb.src, pb.w[:, None])[:, 0]
+            self.dl = (self.deg[pb.dst] - pb.w[pb.rev]) * pb.edge_mask
+
+        def _seg(self, idx, vals):
+            self.psum_widths.append(int(vals.shape[1]))
+            return _seg(idx, vals)
+
+        def _spmm(self, x):
+            return self._seg(pb.src, pb.w[:, None] * x[pb.dst])
+
+        def graph_op(self, x):
+            blocks = [x, self.deg[:, None] * x]
+            cur = x
+            applied = 0
+            for j in range(J):
+                target = 2**j
+                while applied < target:
+                    cur = self._spmm(cur)
+                    applied += 1
+                blocks.append(cur)
+            return jnp.concatenate(blocks, axis=1)
+
+        def _nb(self, xl):
+            y = self._seg(pb.src, pb.w[:, None] * xl)
+            out = y[pb.dst] - pb.w[pb.rev][:, None] * xl[pb.rev]
+            return out * pb.edge_mask[:, None]
+
+        def lg_graph_op(self, xl):
+            blocks = [xl, self.dl[:, None] * xl]
+            cur = xl
+            applied = 0
+            for j in range(J):
+                target = 2**j
+                while applied < target:
+                    cur = self._nb(cur)
+                    applied += 1
+                blocks.append(cur)
+            return jnp.concatenate(blocks, axis=1)
+
+        def pm(self, xl):
+            xm = xl * pb.edge_mask[:, None]
+            return self._seg(pb.src, xm) + self._seg(pb.dst, xm)
+
+        def pd(self, xl):
+            xm = xl * pb.edge_mask[:, None]
+            return self._seg(pb.src, xm) - self._seg(pb.dst, xm)
+
+        def pm_t(self, x):
+            return (x[pb.src] + x[pb.dst]) * pb.edge_mask[:, None]
+
+        def pd_t(self, x):
+            return (x[pb.src] - x[pb.dst]) * pb.edge_mask[:, None]
+
+        def nb_degrees(self):
+            return self.dl
+
+        def comm_bytes_per_step(self, dtype_bytes: int = 4) -> dict:
+            """Exact all-reduce volume of the traced forward (call after
+            tracing a forward/step through this bundle). A ring all-reduce
+            of a replicated (V, width) block moves
+            2 * (n-1)/n * V * width * dtype_bytes per chip; the backward
+            transposes every psum into an equal-size collective, doubling
+            the total."""
+            ring = 2.0 * (axis_size - 1) / max(axis_size, 1)
+            fwd = sum(
+                ring * num_nodes * wd * dtype_bytes for wd in self.psum_widths
+            )
+            return {
+                "n_allreduce_fwd": len(self.psum_widths),
+                "forward_bytes_per_chip": fwd,
+                "train_step_bytes_per_chip": 2 * fwd,
+                "ring_factor": ring,
+            }
+
+    return _Ops()
+
+
+# ---------------------------------------------------------------------------
+# Molecule-aligned whole-model sharding (zero comm per operator apply).
+# ---------------------------------------------------------------------------
+
+
+def make_packed_shards(
+    records,
+    n_shards: int,
+    node_capacity: int,
+    edge_capacity: int,
+    graphs_per_shard: int,
+    task: int | None = None,
+):
+    """Partition molecules into n_shards edge-balanced shards and stack
+    their PackedGraphBatches along a new leading axis (sharded over
+    'edge'). Molecules never split, so every operator apply inside a shard
+    is fully local; only BatchNorm statistics (two (F,) psums per BN) and
+    the loss reduction cross shards."""
+    from hgnn2_tpu import graphs as graphs_lib
+
+    parts = partition_records(records, n_shards)
+    batches = []
+    for part in parts:
+        if len(part) > graphs_per_shard:
+            raise ValueError(
+                f"shard holds {len(part)} graphs > graphs_per_shard="
+                f"{graphs_per_shard}"
+            )
+        batches.append(
+            graphs_lib.make_packed_batch(
+                part,
+                node_capacity=node_capacity,
+                edge_capacity=edge_capacity,
+                task=task,
+                batch_size=graphs_per_shard,
+            )
+        )
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *batches)
+
+
+def sharded_packed_loss(model, mesh, kind: str = "regression",
+                        mean: float = 0.0, std: float = 1.0):
+    """Masked loss of a packed model (built with bn_axis='edge') over
+    stacked molecule-aligned shards; differentiable. Returns
+    loss_fn(variables, stacked) for use with jax.value_and_grad."""
+
+    def local_fwd(variables, batch):
+        local = jax.tree_util.tree_map(lambda v: v[0], batch)
+        out, _ = model.apply(
+            variables, local, train=True, mutable=["batch_stats"]
+        )
+        y = local.y
+        gmask = local.gmask
+        if kind == "classification":
+            import optax
+
+            per = optax.softmax_cross_entropy_with_integer_labels(out, y)
+        else:
+            t = (y - mean) / (std + 1e-8)
+            per = (out[:, 0] - t) ** 2
+        num = (per * gmask).sum()
+        den = gmask.sum()
+        num, den = jax.lax.psum((num, den), "edge")
+        return (num / jnp.maximum(den, 1.0))[None]
+
+    def loss_fn(variables, stacked):
+        losses = shard_map(
+            local_fwd,
+            mesh=mesh,
+            in_specs=(P(), P("edge")),
+            out_specs=P("edge"),
+            check_rep=False,
+        )(variables, stacked)
+        return losses.mean()
+
+    return loss_fn
+
+
 def partition_records(records, n_shards: int):
     """Greedy bin-pack molecules into n_shards shards balanced by edge
     count (the 'minimize cut edges' partitioner is trivial for disconnected
