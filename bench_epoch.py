@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""End-to-end EPOCH benchmark: full training epochs with the loader in the
+loop, at reference scale (107,108 train molecules — the QM9 train split the
+reference's 215 s/epoch baseline was measured on, BASELINE.md).
+
+Unlike bench.py (device-kernel throughput on one resident batch), every
+number here includes the host pipeline: loader iteration, batch delivery,
+dispatch, and the one metrics sync per epoch. The first epoch additionally
+pays one-time batch construction (CachedLoader materialization); later
+epochs replay device-resident batches — the pipeline design the reference
+lacks (it re-pads every batch on the host every epoch,
+/root/reference/functions/batching.py:77).
+
+Writes/merges results into BENCH_DETAILS.json under "epoch".
+Run: python bench_epoch.py [--molecules N] [--quick]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from hgnn2_tpu import runtime
+
+runtime.setup()
+
+import jax  # noqa: E402
+
+from hgnn2_tpu.data import batching, qm9, stats  # noqa: E402
+from hgnn2_tpu.nn import models  # noqa: E402
+from hgnn2_tpu.training import train as train_lib  # noqa: E402
+from hgnn2_tpu.training.config import OptimConfig  # noqa: E402
+from hgnn2_tpu.training.optim import build_optimizer  # noqa: E402
+
+REF_GNN_EPOCH_S = 215.0     # BASELINE.md: GNN_simple, 107,108 molecules
+REF_LGGNN_EPOCH_S = 720.0   # BASELINE.md: LGGNN order 2
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_family(name, model, records, ts, bs, with_lg, epochs):
+    loader = batching.CachedLoader(
+        batching.DenseLoader(
+            records, batch_size=bs, task=0, with_line_graph=with_lg,
+            sort=True, shuffle=False,
+        )
+    )
+    t0 = time.time()
+    loader.materialize()
+    build_s = time.time() - t0
+    n_steps = len(loader)
+    log(f"{name}: built {n_steps} batches of {bs} in {build_s:.1f}s")
+
+    tx = build_optimizer(OptimConfig(optim="adamax", lr=3e-4),
+                         steps_per_epoch=n_steps)
+    sample = next(iter(loader))
+    state = train_lib.TrainState.create(model, sample, tx, jax.random.key(0))
+    step = train_lib.make_train_step(
+        "regression", float(ts.mean[0]), float(ts.std[0])
+    )
+
+    # compile both bucket shapes before timing (one-time, cached)
+    t0 = time.time()
+    state, m0 = train_lib.run_epoch(state, loader, step)
+    compile_epoch_s = time.time() - t0
+    log(f"{name}: first epoch (compile) {compile_epoch_s:.1f}s "
+        f"loss={m0['loss']:.4f}")
+
+    times = []
+    for _ in range(epochs):
+        t0 = time.time()
+        state, mets = train_lib.run_epoch(state, loader, step)
+        times.append(time.time() - t0)
+    epoch_s = min(times)
+    n_mol = len(records)
+    log(f"{name}: epoch {epoch_s:.2f}s (all: {[round(t, 2) for t in times]}) "
+        f"-> {n_mol / epoch_s:,.0f} molecules/s end-to-end, "
+        f"loss={mets['loss']:.4f}")
+    return {
+        "molecules": n_mol,
+        "batch_size": bs,
+        "steps_per_epoch": n_steps,
+        "batch_build_s": build_s,
+        "first_epoch_incl_compile_s": compile_epoch_s,
+        "epoch_s": epoch_s,
+        "molecules_per_s_end_to_end": n_mol / epoch_s,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--molecules", type=int, default=107108)
+    ap.add_argument("--batch_size", type=int, default=2048)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    n = 8192 if args.quick else args.molecules
+
+    t0 = time.time()
+    records = qm9.synthetic_qm9_like(n, seed=0)
+    ts = stats.compute_target_stats(records)
+    log(f"dataset: {n} synthetic QM9-shaped molecules in {time.time()-t0:.1f}s")
+
+    out = {}
+    out["gnn_L15"] = run_family(
+        "gnn L15", models.GNNSimple(n_features=1, n_layers=15, J=1),
+        records, ts, args.batch_size, with_lg=False, epochs=args.epochs,
+    )
+    out["gnn_L15"]["vs_reference_epoch"] = (
+        REF_GNN_EPOCH_S * (n / 107108.0) / out["gnn_L15"]["epoch_s"]
+    )
+    out["lggnn_L5"] = run_family(
+        "lggnn L5",
+        models.GNNLineGraph(n_features=1, n_layers=5, J=1, order=2),
+        records, ts, args.batch_size, with_lg=True, epochs=args.epochs,
+    )
+    out["lggnn_L5"]["vs_reference_epoch"] = (
+        REF_LGGNN_EPOCH_S * (n / 107108.0) / out["lggnn_L5"]["epoch_s"]
+    )
+
+    details = {}
+    if os.path.exists("BENCH_DETAILS.json"):
+        with open("BENCH_DETAILS.json") as f:
+            details = json.load(f)
+    details["epoch"] = out
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2, default=float)
+        f.write("\n")
+    log("wrote BENCH_DETAILS.json[epoch]")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,47 @@ class DenseLoader:
 
 
 @dataclasses.dataclass
+class CachedLoader:
+    """Builds every batch of an inner loader once and replays the (already
+    device-resident) batches on later epochs, reshuffling batch ORDER only.
+
+    The reference re-pads every batch on the host every epoch
+    (functions/batching.py:77) which makes real epochs host-bound; caching
+    keeps epochs device-bound at the cost of fixed batch composition
+    (molecules are not re-dealt into new batches each epoch — order-level
+    shuffling preserves SGD's stochasticity for bucketed same-shape
+    batches). Build cost is paid once, on the first epoch or an explicit
+    materialize().
+    """
+
+    inner: object
+    shuffle: bool = True
+    seed: int = 0
+    _batches: list | None = None
+    _epoch: int = 0
+
+    def materialize(self) -> "CachedLoader":
+        if self._batches is None:
+            self._batches = list(self.inner)
+        return self
+
+    def __iter__(self):
+        self.materialize()
+        order = np.arange(len(self._batches))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+            self._epoch += 1
+        for i in order:
+            yield self._batches[i]
+
+    def __len__(self) -> int:
+        if self._batches is not None:
+            return len(self._batches)
+        return len(self.inner)
+
+
+@dataclasses.dataclass
 class CCNLoader:
     """Yields CCNBatch objects with a static vertex capacity per batch."""
 
@@ -91,13 +132,11 @@ class CCNLoader:
 
     def __post_init__(self):
         if self.k_max is None:
-            # global max receptive-field size so every batch shares one K
-            k = 0
-            for r in self.records:
-                a = np.asarray(r.adj) > 0
-                deg = a.sum(1) + (1 if self.add_self_loops else 0)
-                k = max(k, int(deg.max()))
-            self.k_max = k
+            # global max receptive-field size so every batch shares one K;
+            # per-record degrees are memoized on the GraphRecord so this
+            # scan is O(records) on every loader after the first
+            bump = 1 if self.add_self_loops else 0
+            self.k_max = max(r.max_degree() + bump for r in self.records)
 
     def __iter__(self) -> Iterator[ccn_mod.CCNBatch]:
         idx = np.arange(len(self.records))

@@ -40,10 +40,18 @@ class GraphRecord:
     adj: np.ndarray  # (N, N) weighted symmetric adjacency
     y: np.ndarray  # (T,) regression targets or () int label
     lg: operators.LineGraph | None = None  # built lazily
+    _max_degree: int | None = None  # memoized (CCN receptive-field scan)
 
     @property
     def n_nodes(self) -> int:
         return int(self.x.shape[0])
+
+    def max_degree(self) -> int:
+        """Largest unweighted degree (no self-loop); memoized so repeated
+        loader construction (per split, per run) scans each record once."""
+        if self._max_degree is None:
+            self._max_degree = int((np.asarray(self.adj) > 0).sum(1).max())
+        return self._max_degree
 
     def line_graph(self) -> operators.LineGraph:
         if self.lg is None:

@@ -173,12 +173,19 @@ def make_eval_step(kind: str = "regression", mean: float = 0.0, std: float = 1.0
 
 
 def run_epoch(state, loader, step_fn, prefetch_size: int = 2):
-    meters: dict[str, metrics_lib.AverageMeter] = {}
+    """One training epoch. Metrics stay on device until the epoch ends —
+    a float() per step would force a host sync that serializes dispatch
+    (costly over high-latency device links); one block per epoch instead."""
+    device_mets: list = []
     for batch in prefetch(loader, size=prefetch_size):
         state, mets = step_fn(state, batch)
-        for k, v in mets.items():
-            meters.setdefault(k, metrics_lib.AverageMeter()).update(float(v))
-    return state, {k: m.avg for k, m in meters.items()}
+        device_mets.append(mets)
+    if not device_mets:
+        return state, {}
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs).mean(), *device_mets
+    )
+    return state, {k: float(v) for k, v in stacked.items()}
 
 
 def evaluate(state, loader, eval_fn):
