@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Training-trajectory parity artifact: 20 epochs, reference torch vs this
+framework, identical committed fixture set / initial weights / schedule.
+
+Writes runs/parity_trajectory/trajectory.json with both per-epoch curves
+and their deltas, and rewrites the trajectory section of PARITY.md.
+
+Run (CPU on both sides for determinism):  python scripts/parity_trajectory.py
+"""
+
+import json
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests import trajectory_common as tc  # noqa: E402
+
+EPOCHS = 20
+OUT_DIR = "runs/parity_trajectory"
+MARK_BEGIN = "<!-- trajectory:begin -->"
+MARK_END = "<!-- trajectory:end -->"
+
+
+def main():
+    ref, ours = tc.run_both(h=2, L=3, J=1, bs=16, lr=1e-3, epochs=EPOCHS)
+    rows = []
+    for e, (a, b) in enumerate(zip(ref["history"], ours["history"])):
+        rel = {
+            k: abs(b[k] - a[k]) / max(abs(a[k]), 1e-8) for k in a
+        }
+        rows.append({"epoch": e + 1, "reference": a, "ours": b,
+                     "rel_delta": rel})
+        print(f"epoch {e+1:2d}: ref loss {a['train_loss_ema']:.5f} "
+              f"ours {b['train_loss_ema']:.5f} "
+              f"(rel {rel['train_loss_ema']:.2e}); "
+              f"val mae ref {a['val_mae']:.5f} ours {b['val_mae']:.5f} "
+              f"(rel {rel['val_mae']:.2e})", flush=True)
+    worst = max(max(r["rel_delta"].values()) for r in rows)
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(os.path.join(OUT_DIR, "trajectory.json"), "w") as f:
+        json.dump({
+            "config": {"h": 2, "L": 3, "J": 1, "bs": 16, "lr": 1e-3,
+                       "epochs": EPOCHS, "fixture": "tests/fixtures/"
+                       "parity_molecules.npz", "n_train": 160, "n_val": 32,
+                       "optimizer": "adamax re-created each epoch, lr*0.9 "
+                       "every 5 epochs (reference main_gnn_qm9 schedule)"},
+            "worst_rel_delta": worst,
+            "epochs": rows,
+        }, f, indent=2)
+        f.write("\n")
+    print(f"worst relative delta over {EPOCHS} epochs x 4 metrics: "
+          f"{worst:.3e}")
+
+    section = "\n".join([
+        MARK_BEGIN,
+        "## Training-trajectory parity (20 epochs head-to-head)",
+        "",
+        "`scripts/parity_trajectory.py` trains the reference torch "
+        "`GNN_simple` (via its own `train_with_mnb`/`test_with_mnb` loops "
+        "and its per-epoch optimizer-re-creation + lr-damping schedule, "
+        "`scripts/main_gnn_qm9.py:185,204-205`) and this framework's "
+        "`GNNSimple` (compat mode) from identical initial weights on the "
+        "committed fixture `tests/fixtures/parity_molecules.npz` "
+        "(160 train / 32 val molecules, identical batch composition and "
+        "per-batch Nmax padding). Per-epoch curves: "
+        "`runs/parity_trajectory/trajectory.json`.",
+        "",
+        f"Worst relative delta across 20 epochs x 4 metrics "
+        f"(train loss/MAE EMA, val loss/MAE): **{worst:.2e}**.",
+        "",
+        "| epoch | ref train loss | ours | ref val MAE | ours |",
+        "|---|---|---|---|---|",
+    ] + [
+        f"| {r['epoch']} | {r['reference']['train_loss_ema']:.5f} | "
+        f"{r['ours']['train_loss_ema']:.5f} | "
+        f"{r['reference']['val_mae']:.5f} | {r['ours']['val_mae']:.5f} |"
+        for r in rows[::4] + [rows[-1]]
+    ] + [
+        "",
+        "`tests/test_trajectory_parity.py` re-runs a short head-to-head and "
+        "fails on divergence (rel tolerance 2e-3).",
+        MARK_END,
+    ])
+
+    with open("PARITY.md") as f:
+        text = f.read()
+    if MARK_BEGIN in text:
+        pre = text.split(MARK_BEGIN)[0]
+        post = text.split(MARK_END)[1]
+        text = pre + section + post
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
+    with open("PARITY.md", "w") as f:
+        f.write(text)
+    print("updated PARITY.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,278 @@
+"""Shared harness for TRAINING-TRAJECTORY parity against the reference.
+
+Trains the reference torch GNN_simple (CPU, via its own train/eval loops
+scripts/train_mnb.py:25 / scripts/test_mnb.py:25 and its per-epoch
+optimizer-re-creation + lr-damping schedule, main_gnn_qm9.py:185,204-205)
+and this framework's GNNSimple from IDENTICAL initial weights on an
+IDENTICAL committed fixture set with identical batch composition, and
+returns per-epoch metric curves from both. Used by
+scripts/parity_trajectory.py (full run, PARITY.md artifact) and
+tests/test_trajectory_parity.py (short tolerance-asserted run).
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import sys
+
+import numpy as np
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "parity_molecules.npz")
+REFERENCE_PATH = "/root/reference"
+
+
+# ---------------------------------------------------------------------------
+# Fixture: committed, deterministic molecule set.
+# ---------------------------------------------------------------------------
+
+
+def make_fixture(n=192, seed=3, path=FIXTURE):
+    """Random weighted graphs (5-12 nodes, 5 features) with a learnable
+    graph-level target (mean degree + feature mean + small noise) stored at
+    task index 0 of a 13-vector (reference target layout)."""
+    rng = np.random.default_rng(seed)
+    xs, adjs, ys, sizes = [], [], [], []
+    for _ in range(n):
+        k = int(rng.integers(5, 13))
+        a = (rng.random((k, k)) < 0.5).astype(np.float32)
+        a *= rng.integers(1, 4, (k, k)).astype(np.float32)
+        a = np.triu(a, 1)
+        a[0, 1] = max(a[0, 1], 1.0)
+        a = a + a.T
+        x = rng.standard_normal((k, 5)).astype(np.float32)
+        y = np.zeros(13, np.float32)
+        y[0] = a.sum() / k + x.mean() + 0.1 * rng.standard_normal()
+        xs.append(x)
+        adjs.append(a)
+        ys.append(y)
+        sizes.append(k)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(
+        path,
+        sizes=np.asarray(sizes, np.int32),
+        x=np.concatenate(xs, axis=0),
+        adj=np.concatenate([a.reshape(-1) for a in adjs]),
+        y=np.stack(ys),
+    )
+    return path
+
+
+def load_fixture(path=FIXTURE):
+    from hgnn2_tpu import graphs
+
+    z = np.load(path)
+    sizes = z["sizes"]
+    recs = []
+    xo = ao = 0
+    for i, k in enumerate(sizes):
+        k = int(k)
+        x = z["x"][xo : xo + k]
+        adj = z["adj"][ao : ao + k * k].reshape(k, k)
+        recs.append(graphs.GraphRecord(x=x, adj=adj, y=z["y"][i]))
+        xo += k
+        ao += k * k
+    return recs
+
+
+def split_fixture(recs, n_train=160):
+    return recs[:n_train], recs[n_train:]
+
+
+# ---------------------------------------------------------------------------
+# Reference side.
+# ---------------------------------------------------------------------------
+
+
+def _ref_paths():
+    for p in (REFERENCE_PATH, os.path.join(REFERENCE_PATH, "scripts")):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+
+
+def build_reference_model(h, L, J, dim_input=5, task=0, seed=0):
+    """Fresh reference GNN_simple with a deterministic torch init; returns
+    (live model, frozen deepcopy of the initial weights for copying)."""
+    _ref_paths()
+    import torch
+    from models.gnns import model_mnb
+
+    torch.manual_seed(seed)
+    gnn = model_mnb.GNN_simple(task, h, L, dim_input, 1, J)
+    return gnn, copy.deepcopy(gnn)
+
+
+def to_reference_data(recs, J):
+    _ref_paths()
+    import torch
+    from functions.operators import graph_operators
+
+    data = []
+    for r in recs:
+        x_t = torch.from_numpy(np.ascontiguousarray(r.x))
+        a_t = torch.from_numpy(np.ascontiguousarray(r.adj))
+        W, WL, Pm, Pd = graph_operators([x_t, a_t], J=J, dual=True)
+        t = torch.from_numpy(np.ascontiguousarray(r.y.astype(np.float32)))
+        data.append([x_t, a_t, t, W, WL, Pm, Pd])
+    return data
+
+
+def target_stats(recs, task=0):
+    """mean/std exactly as the reference's data_stats (functions/utils.py:105)."""
+    ys = np.asarray([r.y[task] for r in recs], np.float32)
+    return float(ys.mean()), float(1e-5 + ys.std(ddof=1))
+
+
+def run_reference(gnn, recs_tr, recs_va, *, bs, lr, epochs, epoch_step=5,
+                  damping=0.9, task=0):
+    _ref_paths()
+    import torch.nn as nn
+    from torch import optim
+    import train_mnb
+    import test_mnb
+
+    train_data = to_reference_data(recs_tr, gnn.J)
+    val_data = to_reference_data(recs_va, gnn.J)
+    mean, std = target_stats(recs_tr, task)
+    criterion = nn.MSELoss()
+    hist = []
+    cur_lr = lr
+    for epoch in range(epochs):
+        # reference schedule: damp THEN re-create the optimizer
+        # (main_gnn_qm9.py:185,204-205 — moments reset every epoch)
+        if epoch != 0 and epoch % epoch_step == 0:
+            cur_lr *= damping
+        optimizer = optim.Adamax(gnn.parameters(), lr=cur_lr)
+        tr_loss, tr_mae = train_mnb.train_with_mnb(
+            gnn, train_data, task, criterion, optimizer, False, bs, mean, std
+        )
+        va_loss, va_mae = test_mnb.test_with_mnb(
+            gnn, val_data, task, criterion, False, bs, mean, std, None
+        )
+        hist.append({
+            "train_loss_ema": float(tr_loss),
+            "train_mae_ema": float(tr_mae),
+            "val_loss": float(va_loss),
+            "val_mae": float(va_mae),
+        })
+    return {"mean": mean, "std": std, "history": hist}
+
+
+# ---------------------------------------------------------------------------
+# Our side.
+# ---------------------------------------------------------------------------
+
+
+def run_ours(torch_init, recs_tr, recs_va, *, h, L, J, bs, lr, epochs,
+             epoch_step=5, damping=0.9, task=0):
+    """Same schedule/loss/batches as run_reference, initial weights copied
+    from the torch model's init snapshot."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hgnn2_tpu import graphs
+    from hgnn2_tpu.nn import models
+    from hgnn2_tpu.nn.layers import CompatConfig
+    from tests.test_gnn_parity import _copy_simple_params
+
+    mean, std = target_stats(recs_tr, task)
+    model = models.GNNSimple(
+        n_features=h, n_layers=L, dim_output=1, J=J,
+        compat=CompatConfig.reference(),
+    )
+
+    def _batches(recs):
+        # pad each batch to ITS OWN Nmax exactly like the reference's
+        # prepare_batch: in compat mode the readout bias enters the sum
+        # Nmax times (mask_readout_bias=False), so padding width is part
+        # of the math being matched — bucketed padding would diverge
+        return [
+            graphs.make_dense_batch(recs[s : s + bs], task=task)
+            for s in range(0, len(recs), bs)
+        ]
+
+    tr_batches = _batches(recs_tr)
+    va_batches = _batches(recs_va)
+    variables = model.init(jax.random.key(0), tr_batches[0], train=True)
+    params = _copy_simple_params(torch_init, variables["params"], L)
+    bstats = variables["batch_stats"]
+    tx = optax.inject_hyperparams(optax.adamax)(learning_rate=lr)
+
+    def _metrics(out, batch):
+        gm = (batch.n_nodes > 0).astype(jnp.float32)
+        den = jnp.maximum(gm.sum(), 1.0)
+        t = (batch.y - mean) / std
+        err = out[:, 0] - t
+        return ((err**2) * gm).sum() / den, (jnp.abs(err) * gm).sum() / den
+
+    @jax.jit
+    def train_step(params, bstats, opt_state, batch):
+        def loss_fn(p):
+            out, upd = model.apply(
+                {"params": p, "batch_stats": bstats}, batch, train=True,
+                mutable=["batch_stats"],
+            )
+            loss, mae = _metrics(out, batch)
+            return loss, (mae, upd["batch_stats"])
+
+        (loss, (mae, bstats2)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), bstats2, opt_state, loss, mae
+
+    @jax.jit
+    def eval_step(params, bstats, batch):
+        out = model.apply(
+            {"params": params, "batch_stats": bstats}, batch, train=False)
+        return _metrics(out, batch)
+
+    def ema(prev, new):
+        return new if prev == 0.0 else 0.9 * new + 0.1 * prev
+
+    hist = []
+    cur_lr = lr
+    for epoch in range(epochs):
+        if epoch != 0 and epoch % epoch_step == 0:
+            cur_lr *= damping
+        opt_state = tx.init(params)  # fresh moments, like the reference
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            cur_lr, jnp.float32)
+        loss_ema = mae_ema = 0.0
+        for batch in tr_batches:
+            params, bstats, opt_state, loss, mae = train_step(
+                params, bstats, opt_state, batch)
+            loss_ema = ema(loss_ema, float(loss))
+            mae_ema = ema(mae_ema, float(mae))
+        vl = vm = vn = 0.0
+        for batch in va_batches:
+            loss, mae = eval_step(params, bstats, batch)
+            k = float(np.asarray((batch.n_nodes > 0)).sum())
+            vl += float(loss) * k
+            vm += float(mae) * k
+            vn += k
+        hist.append({
+            "train_loss_ema": loss_ema,
+            "train_mae_ema": mae_ema,
+            "val_loss": vl / vn,
+            "val_mae": vm / vn,
+        })
+    return {"mean": mean, "std": std, "history": hist}
+
+
+def run_both(*, h=2, L=3, J=1, bs=16, lr=1e-3, epochs=20, n_train=160,
+             task=0, n_mol=None):
+    recs = load_fixture()
+    if n_mol is not None:
+        recs = recs[:n_mol]
+        n_train = int(0.8 * n_mol) // bs * bs or bs
+    recs_tr, recs_va = split_fixture(recs, n_train)
+    gnn, init_snapshot = build_reference_model(h, L, J,
+                                               dim_input=recs[0].x.shape[1],
+                                               task=task)
+    ours = run_ours(init_snapshot, recs_tr, recs_va, h=h, L=L, J=J, bs=bs,
+                    lr=lr, epochs=epochs, task=task)
+    ref = run_reference(gnn, recs_tr, recs_va, bs=bs, lr=lr, epochs=epochs,
+                        task=task)
+    return ref, ours
