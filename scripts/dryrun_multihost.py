@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Multi-host dry run: N real OS processes, one global mesh, DP training.
+
+Parent mode (default) picks a free port and launches N child processes;
+each child gets 4 virtual CPU devices, joins the distributed runtime via
+hgnn2_tpu.parallel.multihost.setup_distributed, shards the dataset
+per-process, and runs jitted LGGNN train steps over the GLOBAL
+('data',) mesh — gradients cross process boundaries through XLA
+collectives exactly as they would cross DCN on a real multi-host slice.
+The parent asserts every process reports the same finite loss.
+
+  python scripts/dryrun_multihost.py [--processes 2] [--steps 2]
+"""
+
+import argparse
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def child(args):
+    from hgnn2_tpu import runtime
+
+    runtime.force_cpu(args.local_devices)
+    from hgnn2_tpu.parallel import multihost
+
+    multihost.setup_distributed(
+        coordinator_address=args.coordinator,
+        num_processes=args.processes,
+        process_id=args.child,
+    )
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hgnn2_tpu import graphs
+    from hgnn2_tpu.data import qm9
+    from hgnn2_tpu.nn import models
+
+    assert jax.process_count() == args.processes
+    n_global = args.processes * args.local_devices
+    assert len(jax.devices()) == n_global
+
+    per_proc = 16
+    records = qm9.synthetic_qm9_like(per_proc * args.processes, seed=0)
+    local = multihost.shard_records(records)
+    batch = graphs.make_dense_batch(
+        local, n_max=32, with_line_graph=True, batch_size=per_proc, task=0
+    )
+    mesh = multihost.global_mesh(("data",))
+    gbatch = multihost.make_global_batch(mesh, batch)
+
+    model = models.GNNLineGraph(n_features=2, n_layers=3, J=1, order=2)
+    variables = model.init(jax.random.key(0), batch, train=True)
+    params = multihost.replicate_to_mesh(mesh, variables["params"])
+    bstats = multihost.replicate_to_mesh(mesh, variables["batch_stats"])
+    tx = optax.adamax(1e-3)
+    opt_state = multihost.replicate_to_mesh(mesh, tx.init(variables["params"]))
+
+    @jax.jit
+    def step(params, bstats, opt_state, b):
+        def loss_fn(p):
+            out, upd = model.apply(
+                {"params": p, "batch_stats": bstats}, b, train=True,
+                mutable=["batch_stats"],
+            )
+            gm = (b.n_nodes > 0).astype(jnp.float32)
+            loss = (((out[:, 0] - b.y) ** 2) * gm).sum() / gm.sum()
+            return loss, upd["batch_stats"]
+
+        (loss, bstats2), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), bstats2, opt_state, loss
+
+    loss = None
+    for _ in range(args.steps):
+        params, bstats, opt_state, loss = step(params, bstats, opt_state, gbatch)
+    print(f"MHLOSS proc={args.child} loss={float(loss):.6f}", flush=True)
+
+
+def parent(args):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in range(args.processes):
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--child", str(pid),
+             "--coordinator", f"localhost:{port}",
+             "--processes", str(args.processes),
+             "--local_devices", str(args.local_devices),
+             "--steps", str(args.steps)],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        ))
+    losses = []
+    for pid, p in enumerate(procs):
+        out, err = p.communicate(timeout=300)
+        if p.returncode != 0:
+            sys.stderr.write(err[-4000:])
+            raise SystemExit(f"child {pid} failed rc={p.returncode}")
+        for line in out.splitlines():
+            if line.startswith("MHLOSS"):
+                losses.append(float(line.split("loss=")[1]))
+                print(line)
+    assert len(losses) == args.processes, losses
+    assert all(abs(v - losses[0]) < 1e-6 for v in losses), losses
+    print(f"dryrun_multihost ok: {args.processes} processes x "
+          f"{args.local_devices} devices, loss={losses[0]:.6f}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--processes", type=int, default=2)
+    ap.add_argument("--local_devices", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--child", type=int, default=None)
+    ap.add_argument("--coordinator", type=str, default=None)
+    args = ap.parse_args()
+    if args.child is not None:
+        child(args)
+    else:
+        parent(args)
+
+
+if __name__ == "__main__":
+    main()

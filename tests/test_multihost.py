@@ -1,0 +1,25 @@
+"""Multi-host path: N real OS processes over one global mesh.
+
+Launches scripts/dryrun_multihost.py, which spawns 2 child processes with
+4 virtual CPU devices each; the children join one JAX distributed runtime,
+shard the dataset per process, and run jitted DP train steps over the
+global ('data',) mesh — the collectives cross the process boundary the way
+they would cross DCN on a real multi-host slice. The parent asserts both
+processes compute identical finite losses (replicated state stays in sync).
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_dp_training():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "dryrun_multihost.py"),
+         "--processes", "2", "--steps", "2"],
+        cwd=REPO, capture_output=True, text=True, timeout=280,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "dryrun_multihost ok: 2 processes" in proc.stdout, proc.stdout
