@@ -142,6 +142,22 @@ def bonds_from_smiles(smiles: str, na: int):
     return bonds
 
 
+def bonds_from_smiles_pure(smiles: str, symbols: Sequence[str]):
+    """RDKit-free SMILES bond graph via the vendored minimal parser
+    (data/smiles.py). Validates that the parser's heavy-then-hydrogen atom
+    ordering reproduces the .xyz element ordering — the same alignment
+    assumption the reference makes of AddHs — and raises if it does not
+    (callers then fall back to geometry inference)."""
+    from hgnn2_tpu.data import smiles as smiles_mod
+
+    psyms, bonds = smiles_mod.parse(smiles)
+    if list(psyms) != list(symbols):
+        raise ValueError(
+            f"SMILES atom ordering {psyms} does not match xyz {list(symbols)}"
+        )
+    return bonds
+
+
 def bonds_from_geometry(symbols: Sequence[str], coords: np.ndarray):
     """Distance-based bond inference: bonded if within covalent-radius sum
     + 0.45 A tolerance; order = nearest typical bond length. Hydrogen and
@@ -173,7 +189,11 @@ def molecule_to_record(
     use_rdkit: bool | None = None,
 ) -> GraphRecord:
     """Build a GraphRecord: one-hot features (+ optional coords/charge),
-    bond-order-weighted adjacency, 13 reference-ordered targets."""
+    bond-order-weighted adjacency, 13 reference-ordered targets.
+
+    Bond-graph source preference: RDKit (exact reference behavior) >
+    vendored SMILES parser (data/smiles.py, RDKit-matching on the QM9
+    subset) > 3D-geometry inference. use_rdkit forces/forbids RDKit."""
     if use_rdkit is None:
         try:
             import rdkit  # noqa: F401
@@ -181,11 +201,13 @@ def molecule_to_record(
             use_rdkit = True
         except ImportError:
             use_rdkit = False
-    bonds = (
-        bonds_from_smiles(mol.smiles, mol.na)
-        if use_rdkit
-        else bonds_from_geometry(mol.symbols, mol.coords)
-    )
+    if use_rdkit:
+        bonds = bonds_from_smiles(mol.smiles, mol.na)
+    else:
+        try:
+            bonds = bonds_from_smiles_pure(mol.smiles, mol.symbols)
+        except Exception:
+            bonds = bonds_from_geometry(mol.symbols, mol.coords)
 
     f = 5 + (3 if spatial else 0) + (1 if charge else 0)
     x = np.zeros((mol.na, f), dtype=np.float32)
