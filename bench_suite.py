@@ -130,22 +130,38 @@ def main():
     results["ccn2d_highK_molecules_per_s"] = timing.throughput(n_graphs)
     results["ccn2d_highK_steps_per_s"] = 1.0 / timing.per_step_s
 
-    # --- SpMM roofline: dense-block and packed-sparse -------------------
+    # --- bf16 mixed-precision GNN training step -------------------------
+    model_bf16 = models.GNNSimple(n_features=1, n_layers=15, J=1,
+                                  dtype=jnp.bfloat16)
+    v = bench_dense_family("gnn L15 bf16", model_bf16, batch, BS, steps)
+    results["gnn_bf16_molecules_per_s"] = v
+    results["gnn_bf16_speedup_vs_fp32"] = v / results["gnn_molecules_per_s"]
+
+    # --- SpMM roofline: dense-block fp32/bf16 with MFU, packed-sparse ---
     adj = batch.adj
     F = 128
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (BS, 32, F)).astype(np.float32))
+    spmm_flops = 2 * BS * 32 * 32 * F
 
     @jax.jit
     def dense_spmm(adj, x):
         return jnp.einsum("bnm,bmf->bnf", adj, x, preferred_element_type=jnp.float32)
 
-    timing = profiling.time_steps(dense_spmm, adj, x, steps=steps)
-    results["dense_block_spmm_edges_per_s"] = n_edges / timing.per_step_s
-    results["dense_block_spmm_flops_per_s"] = 2 * BS * 32 * 32 * F / timing.per_step_s
-    log(f"dense-block SpMM (F={F}): {timing.per_step_s*1e3:.3f} ms "
-        f"-> {results['dense_block_spmm_edges_per_s']:,.0f} real edges/s, "
-        f"{results['dense_block_spmm_flops_per_s']/1e12:.2f} padded TFLOP/s")
+    for dt, label in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+        timing = profiling.time_steps(
+            dense_spmm, adj.astype(dt), x.astype(dt), steps=steps)
+        fps = spmm_flops / timing.per_step_s
+        key = "dense_block_spmm" + ("" if dt == jnp.float32 else "_bf16")
+        results[f"{key}_edges_per_s"] = n_edges / timing.per_step_s
+        results[f"{key}_flops_per_s"] = fps
+        u = profiling.mfu(fps, "float32" if dt == jnp.float32 else "bfloat16")
+        if u is not None:
+            results[f"{key}_mfu"] = u
+        log(f"dense-block SpMM {label} (F={F}): {timing.per_step_s*1e3:.3f} ms "
+            f"-> {n_edges / timing.per_step_s:,.0f} real edges/s, "
+            f"{fps/1e12:.2f} padded TFLOP/s"
+            + (f", MFU {u:.1%}" if u is not None else ""))
 
     pb = graphs.make_packed_batch(records, node_capacity=n_atoms + 1,
                                   edge_capacity=n_edges, task=0)

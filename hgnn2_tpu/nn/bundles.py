@@ -41,9 +41,16 @@ class DenseBundle:
     edge_mask: jnp.ndarray | None = None
 
     @classmethod
-    def from_batch(cls, batch, J: int, with_line_graph: bool = False):
+    def from_batch(cls, batch, J: int, with_line_graph: bool = False,
+                   dtype=None):
+        """dtype casts the operator tensors (adjacency powers, incidence
+        scatter matrices, weights) for bf16 mixed precision; operator
+        powers are computed in f32 first, then cast."""
         adj_powers = D.adjacency_powers(batch.adj, J)
         deg = D.degrees(batch.adj)
+        if dtype is not None:
+            adj_powers = adj_powers.astype(dtype)
+            deg = deg.astype(dtype)
         if not (with_line_graph and batch.has_line_graph):
             return cls(adj_powers=adj_powers, deg=deg, J=J, node_mask=batch.node_mask)
         n_nodes = batch.x.shape[1]
@@ -51,6 +58,10 @@ class DenseBundle:
             batch.lg_src, batch.lg_dst, batch.edge_mask, n_nodes
         )
         dl = D.nb_degrees(s_src, s_dst, batch.lg_w, batch.lg_rev) * batch.edge_mask
+        w = batch.lg_w
+        if dtype is not None:
+            s_src, s_dst = s_src.astype(dtype), s_dst.astype(dtype)
+            dl, w = dl.astype(dtype), w.astype(dtype)
         return cls(
             adj_powers=adj_powers,
             deg=deg,
@@ -58,7 +69,7 @@ class DenseBundle:
             node_mask=batch.node_mask,
             s_src=s_src,
             s_dst=s_dst,
-            w=batch.lg_w,
+            w=w,
             rev=batch.lg_rev,
             dl=dl,
             edge_mask=batch.edge_mask,

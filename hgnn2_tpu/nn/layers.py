@@ -75,6 +75,11 @@ class MaskedBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
+        # statistics and the normalization itself always run in f32; only
+        # the output returns to the caller's (possibly bf16) dtype
+        in_dtype = h.dtype
+        h = h.astype(jnp.float32)
+        mask = mask.astype(jnp.float32)
         f = h.shape[-1]
         pshape = () if self.compat.scalar_affine_bn else (f,)
         gamma = self.param("scale", ref_init(), pshape)
@@ -115,7 +120,7 @@ class MaskedBatchNorm(nn.Module):
         out = gamma * ((hm - mean) / std) + beta
         if self.compat.mask_bn_output:
             out = out * mask[..., None]
-        return out
+        return out.astype(in_dtype)
 
 
 def spatial_normalization(h: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-5):
@@ -151,14 +156,18 @@ class GRUUpdate(nn.Module):
         return (1.0 - z) * h + z * hh
 
 
-def _pair_conv(x1, n_out, compat, mask, train, relu_second, name_prefix=""):
+def _pair_conv(x1, n_out, compat, mask, train, relu_second, name_prefix="",
+               dtype=None):
     """The reference's two-conv + concat + BN block.
 
     Returns BN(concat([cv2(x1) (relu iff relu_second), relu(cv1(x1))])) —
     concat order (cv2, cv1) matches layer_simple:60-65 / layer_with_lg_*.
+    dtype: computation dtype (bf16 mixed precision); params stay f32.
     """
-    a = nn.Dense(n_out, kernel_init=ref_init(), bias_init=ref_init(), name=f"{name_prefix}cv1")(x1)
-    b = nn.Dense(n_out, kernel_init=ref_init(), bias_init=ref_init(), name=f"{name_prefix}cv2")(x1)
+    a = nn.Dense(n_out, kernel_init=ref_init(), bias_init=ref_init(),
+                 dtype=dtype, name=f"{name_prefix}cv1")(x1)
+    b = nn.Dense(n_out, kernel_init=ref_init(), bias_init=ref_init(),
+                 dtype=dtype, name=f"{name_prefix}cv2")(x1)
     a = nn.relu(a)
     if relu_second:
         b = nn.relu(b)
@@ -172,11 +181,13 @@ class PowerLayer(nn.Module):
 
     features_out: int
     compat: CompatConfig = CompatConfig()
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, bundle, x, mask, train: bool) -> jnp.ndarray:
         x1 = bundle.graph_op(x)
-        return _pair_conv(x1, self.features_out, self.compat, mask, train, relu_second=True)
+        return _pair_conv(x1, self.features_out, self.compat, mask, train,
+                          relu_second=True, dtype=self.dtype)
 
 
 class FusedPowerLayer(nn.Module):
@@ -212,14 +223,18 @@ class ReadoutLayer(nn.Module):
 
     features_out: int
     compat: CompatConfig = CompatConfig()
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, bundle, x, mask, train: bool) -> jnp.ndarray:
         x1 = bundle.graph_op(x)
-        y = nn.Dense(self.features_out, kernel_init=ref_init(), bias_init=ref_init(), name="fc")(x1)
+        y = nn.Dense(self.features_out, kernel_init=ref_init(), bias_init=ref_init(),
+                     dtype=self.dtype, name="fc")(x1)
         if self.compat.mask_readout_bias:
             y = y * mask[..., None]
-        return y.sum(axis=1)
+        # readout sums in f32: the per-graph sum is the accumulation that
+        # bf16 would visibly degrade
+        return y.astype(jnp.float32).sum(axis=1)
 
 
 class LGLayer(nn.Module):
@@ -235,6 +250,7 @@ class LGLayer(nn.Module):
     features_out: int
     order: int = 1
     compat: CompatConfig = CompatConfig()
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, bundle, x, xl, mask, edge_mask, train: bool):
@@ -247,7 +263,7 @@ class LGLayer(nn.Module):
             )
             return _pair_conv(
                 x1, self.features_out, self.compat, mask, train,
-                relu_second=False, name_prefix="node_",
+                relu_second=False, name_prefix="node_", dtype=self.dtype,
             )
 
         def edge_update(node_state):
@@ -256,7 +272,7 @@ class LGLayer(nn.Module):
             )
             return _pair_conv(
                 xd1, self.features_out, self.compat, edge_mask, train,
-                relu_second=False, name_prefix="edge_",
+                relu_second=False, name_prefix="edge_", dtype=self.dtype,
             )
 
         if self.order == 1:
@@ -277,11 +293,13 @@ class LGReadoutLayer(nn.Module):
 
     features_out: int
     compat: CompatConfig = CompatConfig()
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, bundle, x, xl, mask, train: bool) -> jnp.ndarray:
         x1 = jnp.concatenate([bundle.graph_op(x), bundle.pm(xl), bundle.pd(xl)], axis=-1)
-        y = nn.Dense(self.features_out, kernel_init=ref_init(), bias_init=ref_init(), name="fc")(x1)
+        y = nn.Dense(self.features_out, kernel_init=ref_init(), bias_init=ref_init(),
+                     dtype=self.dtype, name="fc")(x1)
         if self.compat.mask_readout_bias:
             y = y * mask[..., None]
-        return y.sum(axis=1)
+        return y.astype(jnp.float32).sum(axis=1)

@@ -31,12 +31,15 @@ class GNNSimple(nn.Module):
     compat: CompatConfig = CompatConfig()
     fused: bool = False  # run layer bodies as one Pallas kernel each
     interpret: bool = False  # Pallas interpreter mode (CPU tests)
+    dtype: jnp.dtype | None = None  # bf16 compute (params/BN stats stay f32)
 
     @nn.compact
     def __call__(self, batch, train: bool = True, bundle=None) -> jnp.ndarray:
         if bundle is None:
-            bundle = DenseBundle.from_batch(batch, self.J)
+            bundle = DenseBundle.from_batch(batch, self.J, dtype=self.dtype)
         x, mask = batch.x, batch.node_mask
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i in range(self.n_layers - 1):
             name = f"layer{i}"
             if self.fused:
@@ -44,10 +47,12 @@ class GNNSimple(nn.Module):
                     self.n_features, self.J, self.compat, self.interpret, name=name
                 )(batch.adj, bundle.deg, x, mask, train)
             else:
-                x = layers.PowerLayer(self.n_features, self.compat, name=name)(
+                x = layers.PowerLayer(self.n_features, self.compat,
+                                      dtype=self.dtype, name=name)(
                     bundle, x, mask, train
                 )
-        return layers.ReadoutLayer(self.dim_output, self.compat, name="layerlast")(
+        return layers.ReadoutLayer(self.dim_output, self.compat,
+                                   dtype=self.dtype, name="layerlast")(
             bundle, x, mask, train
         )
 
@@ -65,23 +70,30 @@ class GNNLineGraph(nn.Module):
     J: int = 1
     order: int = 1
     compat: CompatConfig = CompatConfig()
+    dtype: jnp.dtype | None = None  # bf16 compute (params/BN stats stay f32)
 
     @nn.compact
     def __call__(self, batch, train: bool = True, bundle=None) -> jnp.ndarray:
         if bundle is None:
-            bundle = DenseBundle.from_batch(batch, self.J, with_line_graph=True)
+            bundle = DenseBundle.from_batch(batch, self.J, with_line_graph=True,
+                                            dtype=self.dtype)
         x, mask = batch.x, batch.node_mask
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         edge_mask = batch.edge_mask if batch.edge_mask is not None else None
         if edge_mask is None:
             edge_mask = jnp.ones(bundle.w.shape, x.dtype)
-        xl = bundle.edge_features()
+        xl = bundle.edge_features().astype(x.dtype)
         x, xl = layers.LGLayer(
-            self.n_features, self.order, self.compat, name="layer0"
+            self.n_features, self.order, self.compat, dtype=self.dtype,
+            name="layer0"
         )(bundle, x, xl, mask, edge_mask, train)
         for i in range(self.n_layers - 2):
             x, xl = layers.LGLayer(
-                self.n_features, self.order, self.compat, name=f"layer{i+1}"
+                self.n_features, self.order, self.compat, dtype=self.dtype,
+                name=f"layer{i+1}"
             )(bundle, x, xl, mask, edge_mask, train)
-        return layers.LGReadoutLayer(self.dim_output, self.compat, name="layerlast")(
+        return layers.LGReadoutLayer(self.dim_output, self.compat,
+                                     dtype=self.dtype, name="layerlast")(
             bundle, x, xl, mask, train
         )

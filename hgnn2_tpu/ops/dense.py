@@ -24,6 +24,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _acc_einsum(spec: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Einsum with f32 accumulation, output in b's (compute) dtype.
+
+    On TPU this is the MXU-native bf16-in/f32-accumulate dot; the CPU
+    backend (tests) lacks BF16xBF16=F32 dots, so there bf16 inputs are
+    upcast first — same math, different rounding, covered by tolerances.
+    """
+    if a.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        out = jnp.einsum(spec, a.astype(jnp.float32), b.astype(jnp.float32))
+    else:
+        out = jnp.einsum(spec, a, b, preferred_element_type=jnp.float32)
+    return out.astype(b.dtype)
+
+
 def adjacency_powers(adj: jnp.ndarray, J: int) -> jnp.ndarray:
     """(B, N, N) -> (B, J, N, N) stack [A, A^2, A^4, ...] by repeated squaring.
 
@@ -59,8 +73,11 @@ def graph_op(
     which matters when upstream activations are nonzero at padded nodes.
     """
     B, N, F = x.shape
-    ident = x if node_mask is None else x * node_mask[:, :, None]
-    ax = jnp.einsum("bjnm,bmf->bnjf", adj_powers, x, preferred_element_type=jnp.float32)
+    mask = None if node_mask is None else node_mask.astype(x.dtype)
+    ident = x if mask is None else x * mask[:, :, None]
+    # f32 MXU accumulation; output rounds back to the compute dtype so the
+    # bf16 path halves HBM traffic end to end
+    ax = _acc_einsum("bjnm,bmf->bnjf", adj_powers, x)
     blocks = jnp.concatenate(
         [ident[:, :, None, :], (deg[:, :, None] * x)[:, :, None, :], ax], axis=2
     )
@@ -87,13 +104,15 @@ def edge_scatter_matrices(
 
 
 def edge_to_node(s: jnp.ndarray, xl: jnp.ndarray) -> jnp.ndarray:
-    """(B, N, M) x (B, M, F) -> (B, N, F) scatter-sum."""
-    return jnp.einsum("bnm,bmf->bnf", s, xl, preferred_element_type=jnp.float32)
+    """(B, N, M) x (B, M, F) -> (B, N, F) scatter-sum (f32 accumulation,
+    output in the compute dtype)."""
+    return _acc_einsum("bnm,bmf->bnf", s, xl)
 
 
 def node_to_edge(s: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """(B, N, M) x (B, N, F) -> (B, M, F) gather."""
-    return jnp.einsum("bnm,bnf->bmf", s, x, preferred_element_type=jnp.float32)
+    """(B, N, M) x (B, N, F) -> (B, M, F) gather (f32 accumulation, output
+    in the compute dtype)."""
+    return _acc_einsum("bnm,bnf->bmf", s, x)
 
 
 def incidence_apply(s_src, s_dst, xl: jnp.ndarray, signed: bool) -> jnp.ndarray:
@@ -150,8 +169,9 @@ def lg_graph_op(
     the identity block (the padded identity operator is diag(mask)).
     """
     B, M, F = xl.shape
-    ident = xl if edge_mask is None else xl * edge_mask[:, :, None]
-    blocks = [ident, dl[:, :, None] * xl]
+    emask = None if edge_mask is None else edge_mask.astype(xl.dtype)
+    ident = xl if emask is None else xl * emask[:, :, None]
+    blocks = [ident, dl.astype(xl.dtype)[:, :, None] * xl]
     cur = xl
     applied = 0
     for j in range(J):

@@ -87,6 +87,36 @@ class AggregationRoofline:
         return self.bytes_moved() / max(self.n_edges, 1)
 
 
+# Peak dense matmul throughput per chip, FLOP/s. Sources: public TPU
+# spec sheets (per chip, not per core); bf16 = MXU native, f32 = bf16x3
+# passes (~1/3 of peak) except on generations with native f32 paths.
+_CHIP_PEAK_FLOPS = {
+    # kind-substring: {dtype: peak}
+    "v5 lite": {"bfloat16": 197e12, "float32": 197e12 / 4},
+    "v5litepod": {"bfloat16": 197e12, "float32": 197e12 / 4},
+    "v5e": {"bfloat16": 197e12, "float32": 197e12 / 4},
+    "v5p": {"bfloat16": 459e12, "float32": 459e12 / 4},
+    "v4": {"bfloat16": 275e12, "float32": 275e12 / 4},
+    "v6": {"bfloat16": 918e12, "float32": 918e12 / 4},
+}
+
+
+def chip_peak_flops(dtype: str = "bfloat16") -> float | None:
+    """Peak matmul FLOP/s of the local chip for dtype ('bfloat16'/'float32'),
+    or None when the device generation is unknown. MFU = achieved / this."""
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in _CHIP_PEAK_FLOPS.items():
+        if key in kind:
+            return peaks[dtype]
+    return None
+
+
+def mfu(flops_per_s: float, dtype: str = "bfloat16") -> float | None:
+    """Model-FLOP utilization: achieved FLOP/s over the chip's peak."""
+    peak = chip_peak_flops(dtype)
+    return None if peak is None else flops_per_s / peak
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/hgnn2_trace"):
     """jax.profiler trace context; view with tensorboard or xprof."""
