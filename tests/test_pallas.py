@@ -63,7 +63,8 @@ def test_fused_gradients_match_xla(rng):
     g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
     for a, b in zip(g_fused, g_ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-5)
 
 
 def test_fused_model_matches_unfused(rng):
@@ -94,3 +95,22 @@ def test_fused_model_matches_unfused(rng):
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_plain), atol=1e-4
     )
+
+
+def test_pallas_bwd_matches_jnp_bwd(rng):
+    """The fused (Pallas) backward and the jnp fallback backward are the
+    same function of the residuals."""
+    J = 2
+    adj, deg, x, mask, w1, b1, w2, b2 = _inputs(rng, J=J)
+
+    def loss(x, w1, b1, w2, b2, fused_bwd):
+        return (
+            fused_power_layer(adj, deg, x, mask, w1, b1, w2, b2, J, True, 8,
+                              True, fused_bwd) ** 2
+        ).sum()
+
+    g_pl = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2, True)
+    g_np = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2, False)
+    for a, b in zip(g_pl, g_np):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-5)
