@@ -26,8 +26,9 @@ MARK_BEGIN = "<!-- trajectory:begin -->"
 MARK_END = "<!-- trajectory:end -->"
 
 
-def main():
-    ref, ours = tc.run_both(h=2, L=3, J=1, bs=16, lr=1e-3, epochs=EPOCHS)
+def run_arch(arch):
+    ref, ours = tc.run_both(h=2, L=3, J=1, bs=16, lr=1e-3, epochs=EPOCHS,
+                            arch=arch, order=2)
     rows = []
     for e, (a, b) in enumerate(zip(ref["history"], ours["history"])):
         rel = {
@@ -35,12 +36,18 @@ def main():
         }
         rows.append({"epoch": e + 1, "reference": a, "ours": b,
                      "rel_delta": rel})
-        print(f"epoch {e+1:2d}: ref loss {a['train_loss_ema']:.5f} "
+        print(f"{arch} epoch {e+1:2d}: ref loss {a['train_loss_ema']:.5f} "
               f"ours {b['train_loss_ema']:.5f} "
               f"(rel {rel['train_loss_ema']:.2e}); "
               f"val mae ref {a['val_mae']:.5f} ours {b['val_mae']:.5f} "
               f"(rel {rel['val_mae']:.2e})", flush=True)
     worst = max(max(r["rel_delta"].values()) for r in rows)
+    return rows, worst
+
+
+def main():
+    rows, worst = run_arch("gnn")
+    lg_rows, lg_worst = run_arch("lggnn")
 
     os.makedirs(OUT_DIR, exist_ok=True)
     with open(os.path.join(OUT_DIR, "trajectory.json"), "w") as f:
@@ -49,13 +56,17 @@ def main():
                        "epochs": EPOCHS, "fixture": "tests/fixtures/"
                        "parity_molecules.npz", "n_train": 160, "n_val": 32,
                        "optimizer": "adamax re-created each epoch, lr*0.9 "
-                       "every 5 epochs (reference main_gnn_qm9 schedule)"},
+                       "every 5 epochs (reference main_gnn_qm9 schedule)",
+                       "lggnn": "order 2, reference operator tensors via "
+                       "MaterializedBundle (bug-compatible)"},
             "worst_rel_delta": worst,
+            "lggnn_worst_rel_delta": lg_worst,
             "epochs": rows,
+            "lggnn_epochs": lg_rows,
         }, f, indent=2)
         f.write("\n")
-    print(f"worst relative delta over {EPOCHS} epochs x 4 metrics: "
-          f"{worst:.3e}")
+    print(f"GNN worst relative delta over {EPOCHS} epochs x 4 metrics: "
+          f"{worst:.3e}; LGGNN: {lg_worst:.3e}")
 
     section = "\n".join([
         MARK_BEGIN,
@@ -72,7 +83,10 @@ def main():
         "`runs/parity_trajectory/trajectory.json`.",
         "",
         f"Worst relative delta across 20 epochs x 4 metrics "
-        f"(train loss/MAE EMA, val loss/MAE): **{worst:.2e}**.",
+        f"(train loss/MAE EMA, val loss/MAE): **{worst:.2e}** for the "
+        f"power GNN; **{lg_worst:.2e}** for the line-graph GNN (order 2, "
+        f"run over the reference's own operator tensors, edge-indexing "
+        f"bug included).",
         "",
         "| epoch | ref train loss | ours | ref val MAE | ours |",
         "|---|---|---|---|---|",

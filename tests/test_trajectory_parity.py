@@ -22,16 +22,20 @@ def fixture_path():
     return tc.FIXTURE
 
 
-def test_trajectory_matches_reference(reference_path, fixture_path):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("arch", ["gnn", "lggnn"])
+def test_trajectory_matches_reference(reference_path, fixture_path, arch):
     ref, ours = tc.run_both(h=2, L=3, J=1, bs=16, lr=1e-3, epochs=5,
-                            n_mol=80)
+                            n_mol=80, arch=arch, order=2)
     assert len(ref["history"]) == len(ours["history"]) == 5
     for e, (a, b) in enumerate(zip(ref["history"], ours["history"])):
         for k in ("train_loss_ema", "train_mae_ema", "val_loss", "val_mae"):
             rel = abs(b[k] - a[k]) / max(abs(a[k]), 1e-8)
-            assert rel < 2e-3, (
-                f"epoch {e} {k}: reference {a[k]:.6f} vs ours {b[k]:.6f} "
-                f"(rel {rel:.2e})"
+            assert rel < 5e-3, (
+                f"{arch} epoch {e} {k}: reference {a[k]:.6f} vs ours "
+                f"{b[k]:.6f} (rel {rel:.2e})"
             )
     # the run must actually learn, or parity is vacuous
     assert ref["history"][-1]["train_loss_ema"] < (

@@ -91,15 +91,19 @@ def _ref_paths():
             sys.path.insert(0, p)
 
 
-def build_reference_model(h, L, J, dim_input=5, task=0, seed=0):
-    """Fresh reference GNN_simple with a deterministic torch init; returns
-    (live model, frozen deepcopy of the initial weights for copying)."""
+def build_reference_model(h, L, J, dim_input=5, task=0, seed=0,
+                          arch="gnn", order=2):
+    """Fresh reference GNN_simple / GNN_lg with a deterministic torch init;
+    returns (live model, frozen deepcopy of the initial weights)."""
     _ref_paths()
     import torch
     from models.gnns import model_mnb
 
     torch.manual_seed(seed)
-    gnn = model_mnb.GNN_simple(task, h, L, dim_input, 1, J)
+    if arch == "lggnn":
+        gnn = model_mnb.GNN_lg(task, h, L, dim_input, 1, J, order)
+    else:
+        gnn = model_mnb.GNN_simple(task, h, L, dim_input, 1, J)
     return gnn, copy.deepcopy(gnn)
 
 
@@ -165,38 +169,71 @@ def run_reference(gnn, recs_tr, recs_va, *, bs, lr, epochs, epoch_step=5,
 
 
 def run_ours(torch_init, recs_tr, recs_va, *, h, L, J, bs, lr, epochs,
-             epoch_step=5, damping=0.9, task=0):
+             epoch_step=5, damping=0.9, task=0, arch="gnn", order=2):
     """Same schedule/loss/batches as run_reference, initial weights copied
-    from the torch model's init snapshot."""
+    from the torch model's init snapshot. arch='lggnn' runs the line-graph
+    model over the reference's own (buggy) operator tensors via
+    MaterializedBundle so the trajectories are bit-comparable."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from hgnn2_tpu import graphs
     from hgnn2_tpu.nn import models
+    from hgnn2_tpu.nn.bundles import MaterializedBundle
     from hgnn2_tpu.nn.layers import CompatConfig
-    from tests.test_gnn_parity import _copy_simple_params
+    from tests.test_gnn_parity import (_copy_lg_params, _copy_simple_params,
+                                       _prepare_ref_batch)
 
     mean, std = target_stats(recs_tr, task)
-    model = models.GNNSimple(
-        n_features=h, n_layers=L, dim_output=1, J=J,
-        compat=CompatConfig.reference(),
-    )
+    if arch == "lggnn":
+        model = models.GNNLineGraph(
+            n_features=h, n_layers=L, dim_output=1, J=J, order=order,
+            compat=CompatConfig.reference(),
+        )
+    else:
+        model = models.GNNSimple(
+            n_features=h, n_layers=L, dim_output=1, J=J,
+            compat=CompatConfig.reference(),
+        )
 
     def _batches(recs):
         # pad each batch to ITS OWN Nmax exactly like the reference's
         # prepare_batch: in compat mode the readout bias enters the sum
         # Nmax times (mask_readout_bias=False), so padding width is part
-        # of the math being matched — bucketed padding would diverge
-        return [
-            graphs.make_dense_batch(recs[s : s + bs], task=task)
-            for s in range(0, len(recs), bs)
-        ]
+        # of the math being matched — bucketed padding would diverge.
+        # For the line-graph model, consume the reference's own operator
+        # tensors (including its edge-indexing bug) through a bundle.
+        out = []
+        for s in range(0, len(recs), bs):
+            chunk = recs[s : s + bs]
+            batch = graphs.make_dense_batch(chunk, task=task)
+            barrs = None
+            if arch == "lggnn":
+                (X, W, T, XL, WL, Pm, Pd, mask, mask_lg, N_batch,
+                 E_batch) = _prepare_ref_batch(REFERENCE_PATH, chunk, J=J)
+                batch = batch.replace(
+                    edge_mask=jnp.asarray(mask_lg[:, :, 0].numpy()))
+                # bundle fields as a plain tuple (jit-traceable); the
+                # MaterializedBundle is rebuilt inside the step
+                barrs = (jnp.asarray(W.numpy()), jnp.asarray(WL.numpy()),
+                         jnp.asarray(Pm.numpy()), jnp.asarray(Pd.numpy()))
+            out.append((batch, barrs))
+        return out
 
     tr_batches = _batches(recs_tr)
     va_batches = _batches(recs_va)
-    variables = model.init(jax.random.key(0), tr_batches[0], train=True)
-    params = _copy_simple_params(torch_init, variables["params"], L)
+
+    def _bundle(barrs):
+        return None if barrs is None else MaterializedBundle(*barrs)
+
+    b0, barrs0 = tr_batches[0]
+    variables = model.init(jax.random.key(0), b0, train=True,
+                           bundle=_bundle(barrs0))
+    if arch == "lggnn":
+        params = _copy_lg_params(torch_init, variables["params"], L)
+    else:
+        params = _copy_simple_params(torch_init, variables["params"], L)
     bstats = variables["batch_stats"]
     tx = optax.inject_hyperparams(optax.adamax)(learning_rate=lr)
 
@@ -208,11 +245,11 @@ def run_ours(torch_init, recs_tr, recs_va, *, h, L, J, bs, lr, epochs,
         return ((err**2) * gm).sum() / den, (jnp.abs(err) * gm).sum() / den
 
     @jax.jit
-    def train_step(params, bstats, opt_state, batch):
+    def train_step(params, bstats, opt_state, batch, barrs):
         def loss_fn(p):
             out, upd = model.apply(
                 {"params": p, "batch_stats": bstats}, batch, train=True,
-                mutable=["batch_stats"],
+                bundle=_bundle(barrs), mutable=["batch_stats"],
             )
             loss, mae = _metrics(out, batch)
             return loss, (mae, upd["batch_stats"])
@@ -223,9 +260,10 @@ def run_ours(torch_init, recs_tr, recs_va, *, h, L, J, bs, lr, epochs,
         return optax.apply_updates(params, updates), bstats2, opt_state, loss, mae
 
     @jax.jit
-    def eval_step(params, bstats, batch):
+    def eval_step(params, bstats, batch, barrs):
         out = model.apply(
-            {"params": params, "batch_stats": bstats}, batch, train=False)
+            {"params": params, "batch_stats": bstats}, batch, train=False,
+            bundle=_bundle(barrs))
         return _metrics(out, batch)
 
     def ema(prev, new):
@@ -240,14 +278,14 @@ def run_ours(torch_init, recs_tr, recs_va, *, h, L, J, bs, lr, epochs,
         opt_state.hyperparams["learning_rate"] = jnp.asarray(
             cur_lr, jnp.float32)
         loss_ema = mae_ema = 0.0
-        for batch in tr_batches:
+        for batch, barrs in tr_batches:
             params, bstats, opt_state, loss, mae = train_step(
-                params, bstats, opt_state, batch)
+                params, bstats, opt_state, batch, barrs)
             loss_ema = ema(loss_ema, float(loss))
             mae_ema = ema(mae_ema, float(mae))
         vl = vm = vn = 0.0
-        for batch in va_batches:
-            loss, mae = eval_step(params, bstats, batch)
+        for batch, barrs in va_batches:
+            loss, mae = eval_step(params, bstats, batch, barrs)
             k = float(np.asarray((batch.n_nodes > 0)).sum())
             vl += float(loss) * k
             vm += float(mae) * k
@@ -262,7 +300,7 @@ def run_ours(torch_init, recs_tr, recs_va, *, h, L, J, bs, lr, epochs,
 
 
 def run_both(*, h=2, L=3, J=1, bs=16, lr=1e-3, epochs=20, n_train=160,
-             task=0, n_mol=None):
+             task=0, n_mol=None, arch="gnn", order=2):
     recs = load_fixture()
     if n_mol is not None:
         recs = recs[:n_mol]
@@ -270,9 +308,10 @@ def run_both(*, h=2, L=3, J=1, bs=16, lr=1e-3, epochs=20, n_train=160,
     recs_tr, recs_va = split_fixture(recs, n_train)
     gnn, init_snapshot = build_reference_model(h, L, J,
                                                dim_input=recs[0].x.shape[1],
-                                               task=task)
+                                               task=task, arch=arch,
+                                               order=order)
     ours = run_ours(init_snapshot, recs_tr, recs_va, h=h, L=L, J=J, bs=bs,
-                    lr=lr, epochs=epochs, task=task)
+                    lr=lr, epochs=epochs, task=task, arch=arch, order=order)
     ref = run_reference(gnn, recs_tr, recs_va, bs=bs, lr=lr, epochs=epochs,
                         task=task)
     return ref, ours
