@@ -9,6 +9,7 @@ single-line headline harness the driver consumes. Run:
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -119,16 +120,22 @@ def main():
         dense_recs.append(graphs.GraphRecord(x=xg, adj=a, y=np.float32(0.1)))
     cbk = ccn_mod.make_ccn_batch(dense_recs, vertex_capacity=n_dense * n_graphs)
     K_high = int(cbk.nbr.shape[1])
-    # unchunked: the gather-form promotion VJP applies (see nn/ccn.py)
-    model = ccn_mod.CCN2D(hidden=2, n_layers=2)
-    state = _train_state(model, cbk, lr=1e-3)
-    step = train_lib.make_train_step("regression", 0.0, 1.0)
-    state, timing = profiling.time_scan_steps(step, state, cbk, steps=max(3, steps // 3))
-    log(f"ccn2d highK (K={K_high}, V={n_dense*n_graphs}): "
-        f"{timing.per_step_s*1e3:.2f} ms/step ({n_graphs} graphs/step)")
     results["ccn2d_highK_K"] = K_high
-    results["ccn2d_highK_molecules_per_s"] = timing.throughput(n_graphs)
-    results["ccn2d_highK_steps_per_s"] = 1.0 / timing.per_step_s
+    for label, model in [
+        # materialized 4-D T + gather-form promotion VJP (see nn/ccn.py)
+        ("", ccn_mod.CCN2D(hidden=2, n_layers=2)),
+        # scan-fused promotion+contract: O(V K^2 C) live memory
+        ("scan_", ccn_mod.CCN2D(hidden=2, n_layers=2, scan_promotion=True)),
+    ]:
+        state = _train_state(model, cbk, lr=1e-3)
+        step = train_lib.make_train_step("regression", 0.0, 1.0)
+        state, timing = profiling.time_scan_steps(step, state, cbk,
+                                                  steps=max(3, steps // 3))
+        log(f"ccn2d highK {label or 'materialized'} (K={K_high}, "
+            f"V={n_dense*n_graphs}): {timing.per_step_s*1e3:.2f} ms/step "
+            f"({n_graphs} graphs/step)")
+        results[f"ccn2d_highK_{label}molecules_per_s"] = timing.throughput(n_graphs)
+        results[f"ccn2d_highK_{label}steps_per_s"] = 1.0 / timing.per_step_s
 
     # --- bf16 mixed-precision GNN training step -------------------------
     model_bf16 = models.GNNSimple(n_features=1, n_layers=15, J=1,
@@ -183,8 +190,16 @@ def main():
             results[f"{k}_vs_reference"] = results[k] / ref
     results["config"] = {"batch": BS, "steps": steps,
                          "device": str(jax.devices()[0])}
+    # merge: preserve sections other harnesses own (bench_epoch's "epoch",
+    # the fused-layer grad-step rows, ...)
+    merged = {}
+    if os.path.exists("BENCH_DETAILS.json"):
+        with open("BENCH_DETAILS.json") as f:
+            merged = json.load(f)
+    merged.update(results)
     with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(results, f, indent=2, default=float)
+        json.dump(merged, f, indent=2, default=float)
+        f.write("\n")
     log("wrote BENCH_DETAILS.json")
     for k, v in results.items():
         if isinstance(v, float):
