@@ -245,14 +245,16 @@ class CCN2D(nn.Module):
     Linear + ReLU. compat_contractions reproduces the reference's
     duplicated contraction channels (contraction.py:70-81).
 
-    vertex_chunks > 1 evaluates each layer in vertex chunks via lax.map so
-    the (V, K, K, K, C) promotion tensor never materializes whole — needed
-    for dense synthetic graphs where K grows to tens (the reference's
-    exp_ccn2_col.sh configuration). Results are identical (tests). The
-    chunked path uses the autodiff (scatter) promotion backward — a chunk's
-    cotangent covers only its own vertices, so the gather-form VJP (which
-    enumerates readers per source vertex) only applies unchunked; prefer
-    vertex_chunks=1 whenever the promotion tensor fits.
+    Three execution strategies for the promotion memory, identical by test:
+      * default — materialize the (V, K, K, K, C) promotion tensor; the
+        gather-form custom VJP applies (fastest at small/medium K);
+      * scan_promotion=True — fuse promotion with the 18 contractions via
+        a lax.scan over neighbor slots: no contraction needs the full 4-D
+        T, so live memory is O(V K^2 C) and the rematerialized scan body
+        keeps the backward at the same bound (the high-K regime of the
+        reference's exp_ccn2_col.sh);
+      * vertex_chunks > 1 — lax.map over vertex chunks (caps memory but
+        repeats promotion work; superseded by scan_promotion for high K).
     """
 
     hidden: int = 2
@@ -260,6 +262,7 @@ class CCN2D(nn.Module):
     dim_output: int = 1
     compat_contractions: bool = False
     vertex_chunks: int = 1
+    scan_promotion: bool = False
 
     @nn.compact
     def __call__(self, cb: CCNBatch, train: bool = True) -> jnp.ndarray:
@@ -271,7 +274,13 @@ class CCN2D(nn.Module):
                 self.hidden, kernel_init=ref_init(), bias_init=ref_init(),
                 name=f"w{i+1}",
             )
-            if self.vertex_chunks <= 1:
+            if self.scan_promotion:
+                z = contractions.promote_contract_18_fused(
+                    cb.chi_idx, cb.nbr, f, cb.deg, cb.row_mask,
+                    compat=self.compat_contractions,
+                )  # (V, K, K, 18C), T never materialized
+                f = nn.relu(dense(z)) * mask2[..., None]
+            elif self.vertex_chunks <= 1:
                 t = contractions.promote_2d(cb.chi_idx, cb.nbr, f,
                                             rslot=cb.rslot)
                 z = contractions.contract_18(

@@ -192,6 +192,106 @@ def promote_2d(
     return _promote_2d_cv(chi_idx, rslot, nbr, f)
 
 
+def promote_contract_18_fused(
+    chi_idx: jnp.ndarray,
+    nbr: jnp.ndarray,
+    f: jnp.ndarray,
+    deg: jnp.ndarray,
+    row_mask: jnp.ndarray,
+    compat: bool = False,
+) -> jnp.ndarray:
+    """Promotion + the 18 contractions WITHOUT materializing the promotion
+    tensor: a lax.scan over neighbor slots k computes one (V, K, K, C)
+    promoted slice per step and reduces it into the O(K^2)-per-vertex
+    intermediates every contraction actually needs (none of the 18 requires
+    the full (V, K, K, K, C) T — each is a sum/diagonal touching at most
+    three of its axes). Live memory drops from O(V K^3 C) to O(V K^2 C):
+    the regime where the reference's per-vertex python (and any
+    materializing implementation) runs out of room (exp_ccn2_col.sh dense
+    graphs, K in the tens). The scan body is rematerialized in the
+    backward (jax.checkpoint) so autodiff keeps the same memory bound.
+
+    Returns (V, K, K, 18C), identical to
+    contract_18(promote_2d(...), ...) — equivalence is tested.
+    """
+    V, K = f.shape[0], f.shape[1]
+    C = f.shape[-1]
+    valid = chi_idx >= 0  # (V, K, K) [v, k, a]
+    ia = jnp.where(valid, chi_idx, 0)
+    fflat = f.reshape(V * K * K, C)
+
+    @jax.checkpoint
+    def body(carry, k):
+        sk, sum_kkb, t_xxx, c11_val = carry
+        nbr_k = jax.lax.dynamic_index_in_dim(nbr, k, axis=1, keepdims=False)
+        ia_k = jax.lax.dynamic_index_in_dim(ia, k, axis=1, keepdims=False)
+        va_k = jax.lax.dynamic_index_in_dim(valid, k, axis=1, keepdims=False)
+        # t_k[v, a, b] = F[nbr_k[v], ia_k[v, a], ia_k[v, b]]
+        base = (nbr_k[:, None] * K + ia_k) * K  # (V, K) [v, a]
+        flat = base[:, :, None] + ia_k[:, None, :]  # (V, K, K) [v, a, b]
+        t_k = fflat[flat]  # (V, K, K, C)
+        m2 = (va_k[:, :, None] & va_k[:, None, :]).astype(f.dtype)
+        t_k = t_k * m2[..., None]
+
+        rb_k = t_k.sum(axis=2)  # (V, K, C): sum_b, indexed [a]
+        diag_k = jnp.einsum("vaac->vac", t_k)  # (V, K, C): T[k,a,a]
+        # T[k,a,k] (b = k), sum_b T[k,k,b] (a = k), T[k,k,k]
+        col_k = jax.lax.dynamic_index_in_dim(t_k, k, axis=2, keepdims=False)
+        row_k = jax.lax.dynamic_index_in_dim(rb_k, k, axis=1, keepdims=False)
+        xxx_k = jax.lax.dynamic_index_in_dim(diag_k, k, axis=1, keepdims=False)
+        carry = (sk + t_k, sum_kkb + row_k, t_xxx + xxx_k, c11_val + col_k)
+        return carry, (rb_k, diag_k, col_k)
+
+    zeros = (
+        jnp.zeros((V, K, K, C), f.dtype),
+        jnp.zeros((V, C), f.dtype),
+        jnp.zeros((V, C), f.dtype),
+        jnp.zeros((V, K, C), f.dtype),
+    )
+    (sk, sum_kkb, t_xxx, c11_val), (rb_s, diag_s, col_s) = jax.lax.scan(
+        body, zeros, jnp.arange(K, dtype=jnp.int32)
+    )
+    rb = jnp.moveaxis(rb_s, 0, 1)  # (V, K, K, C) [v, k, a]
+    diag_aa = jnp.moveaxis(diag_s, 0, 1)  # (V, K, K, C) [v, k, a] = T[k,a,a]
+    t_kak = jnp.moveaxis(col_s, 0, 2)  # (V, K, K, C) [v, a, k] = T[k,a,k]
+
+    n = deg.astype(f.dtype)[:, None, None, None]
+    m = row_mask.astype(f.dtype)
+
+    def bcast(val):
+        return val[:, :, None, :] * m[:, None, :, None]
+
+    eye = jnp.eye(K, dtype=f.dtype)[None, :, :, None]
+
+    def diag_embed(val):
+        return eye * val[:, None, None, :] * m[:, :, None, None]
+
+    sab = rb.sum(axis=2)
+    skb = rb.sum(axis=1)
+    tot = sab.sum(axis=1)
+    tr_ab = diag_aa.sum(axis=2)
+
+    c1 = n * rb
+    c2 = bcast(sab)
+    c3 = n * sk
+    c4 = bcast(skb)
+    c5 = diag_embed(tot)
+    c6 = rb
+    c16 = diag_aa
+    c17 = t_kak
+    c18 = diag_embed(t_xxx)
+    if compat:
+        mid = [c6] + [c1] * 9
+    else:
+        mid = [
+            c6, c1, bcast(tr_ab), c6, sk, bcast(c11_val),
+            jnp.swapaxes(rb, 1, 2), sk, diag_embed(sum_kkb),
+            diag_embed(tr_ab.sum(axis=1)),
+        ]
+    return jnp.concatenate([c1, c2, c3, c4, c5] + mid + [c16, c17, c18],
+                           axis=-1)
+
+
 def promote_1d_onehot(chi: jnp.ndarray, nbr: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
     """Reference-faithful one-hot 1D promotion (chi @ F as an einsum).
 

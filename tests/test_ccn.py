@@ -306,3 +306,59 @@ def test_ccn2d_vertex_chunked_equivalence(rng):
         jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_promote_contract_fused_scan_matches_materialized(rng):
+    """promote_contract_18_fused (scan over neighbor slots, no 4-D T)
+    == contract_18(promote_2d(...)), values and gradients."""
+    import jax
+
+    from hgnn2_tpu.data import qm9 as qm9_mod
+    from hgnn2_tpu.nn import ccn as ccn_mod
+    from hgnn2_tpu.ops import contractions as ct
+
+    recs = qm9_mod.synthetic_qm9_like(6, seed=9)
+    cb = ccn_mod.make_ccn_batch(recs, task=0)
+    V, K = cb.nbr.shape
+    C = 3
+    f = jnp.asarray(rng.standard_normal((V, K, K, C)).astype(np.float32))
+    mask2 = (cb.row_mask[:, :, None] * cb.row_mask[:, None, :])[..., None]
+    f = f * mask2
+
+    for compat in (False, True):
+        t = ct.promote_2d(cb.chi_idx, cb.nbr, f)
+        ref = ct.contract_18(t, cb.deg, cb.row_mask, compat=compat)
+        out = ct.promote_contract_18_fused(
+            cb.chi_idx, cb.nbr, f, cb.deg, cb.row_mask, compat=compat)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, err_msg=f"compat={compat}")
+
+    def loss_ref(f):
+        t = ct.promote_2d(cb.chi_idx, cb.nbr, f)
+        return (ct.contract_18(t, cb.deg, cb.row_mask) ** 2).sum()
+
+    def loss_fused(f):
+        return (ct.promote_contract_18_fused(
+            cb.chi_idx, cb.nbr, f, cb.deg, cb.row_mask) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref)(f)
+    g_fused = jax.grad(loss_fused)(f)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_ccn2d_scan_promotion_matches_default(rng):
+    import jax
+
+    from hgnn2_tpu.data import qm9 as qm9_mod
+    from hgnn2_tpu.nn import ccn as ccn_mod
+
+    recs = qm9_mod.synthetic_qm9_like(5, seed=10)
+    cb = ccn_mod.make_ccn_batch(recs, task=0)
+    m_a = ccn_mod.CCN2D(hidden=2, n_layers=2)
+    m_b = ccn_mod.CCN2D(hidden=2, n_layers=2, scan_promotion=True)
+    v = m_a.init(jax.random.key(0), cb, train=True)
+    out_a = m_a.apply(v, cb, train=True)
+    out_b = m_b.apply(v, cb, train=True)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
+                               atol=1e-4, rtol=1e-5)
