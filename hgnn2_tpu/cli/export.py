@@ -1,0 +1,109 @@
+"""Export driver: checkpoint -> frozen cross-platform serving bundle.
+
+  python -m hgnn2_tpu.cli.export --ckpt runs/ck --arch lggnn --L 5 --h 8 \
+      --n_max 32 --bs 256 --out bundle/
+
+The bundle (hgnn2_tpu/serving.py) is a self-contained StableHLO artifact:
+parameters frozen in as constants, lowered for every requested platform,
+target mean/std embedded for denormalized predictions. The reference's only
+deployment path is reloading a whole torch module into the training code
+(/root/reference/functions/logs.py:117-123); this replaces it with an
+artifact a serving process can run without the framework installed.
+"""
+
+import argparse
+import logging
+
+import numpy as np
+
+from hgnn2_tpu import graphs, runtime, serving
+from hgnn2_tpu.cli import common
+from hgnn2_tpu.data import batching
+from hgnn2_tpu.training import checkpoint as ckpt_lib
+from hgnn2_tpu.training import train as train_lib
+from hgnn2_tpu.training.config import TrainConfig
+from hgnn2_tpu.training.optim import build_optimizer
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="export a checkpoint for serving")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--arch", default="gnn", choices=["gnn", "lggnn", "ccn1d", "ccn2d"])
+    p.add_argument("--L", dest="layers", type=int, default=15)
+    p.add_argument("--h", dest="nfeatures", type=int, default=1)
+    p.add_argument("--J", type=int, default=1)
+    p.add_argument("--update", type=int, default=1)
+    p.add_argument("--task", type=int, default=0)
+    p.add_argument("--bs", type=int, default=256, help="serving bucket: batch")
+    p.add_argument("--n_max", type=int, default=32, help="serving bucket: nodes")
+    p.add_argument("--m_max", type=int, default=None,
+                   help="serving bucket: directed edges (lggnn)")
+    p.add_argument("--platforms", default="tpu,cpu")
+    p.add_argument("--data_path", default=None)
+    p.add_argument("--n_synthetic", type=int, default=64)
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+    runtime.setup()
+    logging.basicConfig(level=logging.INFO, force=True)
+    log = logging.getLogger("hgnn2_tpu")
+
+    import jax
+
+    cfg = TrainConfig(batch_size=args.bs)
+    cfg.model.arch = args.arch
+    cfg.model.n_layers = args.layers
+    cfg.model.n_features = args.nfeatures
+    cfg.model.J = args.J
+    cfg.model.order = args.update
+    cfg.data.data_path = args.data_path
+    cfg.data.n_synthetic = args.n_synthetic
+    cfg.data.task = args.task
+    records, kind, tstats = common.load_records(cfg)
+    model = common.build_model(cfg, kind)
+    is_ccn = args.arch.startswith("ccn")
+    task = args.task if kind == "regression" else None
+    if is_ccn:
+        sample = next(iter(batching.CCNLoader(records, args.bs, task=task)))
+    else:
+        with_lg = args.arch == "lggnn"
+        m_max = args.m_max
+        if with_lg and m_max is None:
+            m_max = max(r.n_dir_edges for r in records)
+        sample = graphs.make_dense_batch(
+            records[: args.bs], n_max=args.n_max, m_max=m_max,
+            batch_size=args.bs, with_line_graph=with_lg, task=task,
+        )
+
+    tx = build_optimizer(cfg.optim, steps_per_epoch=1)
+    state = train_lib.TrainState.create(model, sample, tx, jax.random.key(0))
+    restored = ckpt_lib.Checkpointer(args.ckpt).restore(state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint found under {args.ckpt}")
+    state, epoch = restored
+    log.info("restored checkpoint at epoch %d", epoch)
+
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
+    exported = serving.export_model(model, variables, sample, platforms=platforms)
+
+    mean = float(tstats.mean[args.task]) if tstats is not None else 0.0
+    std = float(tstats.std[args.task]) if tstats is not None else 1.0
+    serving.save_bundle(
+        args.out, exported, kind="ccn" if is_ccn else "dense",
+        task=task, mean=mean, std=std,
+        extra={"arch": args.arch, "epoch": int(epoch)},
+    )
+    spec = serving.load_bundle(args.out).input_spec
+    log.info("exported %s -> %s (platforms %s, bucket %s)",
+             args.arch, args.out, ",".join(platforms),
+             {k: v[0] for k, v in spec.items() if k in ("x", "lg_src")})
+    # smoke: the saved artifact must load and run on this host's platform
+    check = serving.load_bundle(args.out).call(serving.batch_to_arrays(sample))
+    assert np.isfinite(np.asarray(check)).all()
+    print(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Serving/export tests: frozen cross-platform artifacts round-trip and
+serve arbitrary request sizes through the exported bucket.
+
+Replaces-and-extends the reference's only deployment path — reloading a
+whole torch module into the training code (functions/logs.py:117-123) —
+with a self-contained jax.export artifact.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hgnn2_tpu import graphs, serving
+from hgnn2_tpu.data import qm9
+from hgnn2_tpu.nn import ccn as ccn_mod
+from hgnn2_tpu.nn import models
+
+
+@pytest.fixture(scope="module")
+def records():
+    return qm9.synthetic_qm9_like(21, seed=0)
+
+
+def test_gnn_export_roundtrip(tmp_path, records):
+    batch = graphs.make_dense_batch(records[:8], n_max=32, batch_size=8, task=0)
+    model = models.GNNSimple(n_features=2, n_layers=3, J=1)
+    variables = model.init(jax.random.key(0), batch, train=False)
+    direct = np.asarray(model.apply(variables, batch, train=False))
+
+    # cross-platform: lowering for TPU works from this CPU-only process
+    exp = serving.export_model(model, variables, batch, platforms=("cpu", "tpu"))
+    assert set(exp.platforms) == {"cpu", "tpu"}
+
+    serving.save_bundle(str(tmp_path / "b"), exp, kind="dense", task=0)
+    sm = serving.load_bundle(str(tmp_path / "b"))
+    assert sm.kind == "dense"
+    assert sm.meta["input_spec"]["x"][0] == [8, 32, 5]
+    out = np.asarray(sm.call(serving.batch_to_arrays(batch)))
+    np.testing.assert_allclose(out, direct, atol=1e-6)
+
+
+def test_lggnn_predict_chunks_pads_denormalizes(tmp_path, records):
+    m_max = max(r.n_dir_edges for r in records)
+    mean, std = 3.0, 2.0
+    batch = graphs.make_dense_batch(
+        records[:8], n_max=32, m_max=m_max, batch_size=8,
+        with_line_graph=True, task=0,
+    )
+    model = models.GNNLineGraph(n_features=2, n_layers=3, J=1, order=2)
+    variables = model.init(jax.random.key(1), batch, train=False)
+    exp = serving.export_model(model, variables, batch, platforms=("cpu",))
+    serving.save_bundle(str(tmp_path / "b"), exp, kind="dense", task=0,
+                        mean=mean, std=std)
+    sm = serving.load_bundle(str(tmp_path / "b"))
+
+    # 21 records through the 8-wide bucket: 2 full chunks + padded tail
+    preds = sm.predict(records)
+    oracle = []
+    for lo in range(0, len(records), 8):
+        ch = records[lo : lo + 8]
+        b = graphs.make_dense_batch(
+            ch, n_max=32, m_max=m_max, batch_size=8,
+            with_line_graph=True, task=0,
+        )
+        o = np.asarray(model.apply(variables, b, train=False))[: len(ch), 0]
+        oracle.append(o * std + mean)
+    np.testing.assert_allclose(preds, np.concatenate(oracle), atol=1e-5)
+
+
+def test_predict_rejects_records_exceeding_bucket(tmp_path, records):
+    small = [r for r in records if r.n_nodes <= 16]
+    big = [r for r in records if r.n_nodes > 16]
+    assert small and big, "fixture should span the 16-node boundary"
+    batch = graphs.make_dense_batch(small[:4], n_max=16, batch_size=4, task=0)
+    model = models.GNNSimple(n_features=2, n_layers=2, J=1)
+    variables = model.init(jax.random.key(2), batch, train=False)
+    exp = serving.export_model(model, variables, batch, platforms=("cpu",))
+    serving.save_bundle(str(tmp_path / "b"), exp, kind="dense", task=0)
+    sm = serving.load_bundle(str(tmp_path / "b"))
+    with pytest.raises(ValueError, match="serving bucket"):
+        sm.predict(small + big)
+    assert sm.predict(small[:4]).shape == (4,)
+
+
+def test_ccn_export_roundtrip(tmp_path, records):
+    cb = ccn_mod.make_ccn_batch(records[:4], task=0)
+    model = ccn_mod.CCN1D(hidden=3, n_layers=2, dim_output=1)
+    variables = model.init(jax.random.key(3), cb, train=False)
+    direct = np.asarray(model.apply(variables, cb, train=False))
+    exp = serving.export_model(model, variables, cb, platforms=("cpu",))
+    serving.save_bundle(str(tmp_path / "b"), exp, kind="ccn", task=0)
+    sm = serving.load_bundle(str(tmp_path / "b"))
+    assert sm.kind == "ccn"
+    out = np.asarray(sm.call(serving.batch_to_arrays(cb)))
+    np.testing.assert_allclose(out, direct, atol=1e-6)
+    with pytest.raises(ValueError, match="dense"):
+        sm.predict(records)
