@@ -184,6 +184,61 @@ def main():
     log(f"packed segment-sum SpMM (F={F}): {timing.per_step_s*1e3:.3f} ms "
         f"-> {results['packed_spmm_edges_per_s']:,.0f} edges/s")
 
+    # HBM roofline for the packed path (VERDICT r2 #6): is segment-sum
+    # already bandwidth-bound? Two traffic models bracket reality:
+    #   compulsory — every array touched once: 3E idx/w + x read + out write
+    #   no-reuse   — the x[dst] gather reads a full row per edge
+    V_packed = pb.num_node_slots
+    t = timing.per_step_s
+    b_compulsory = 4 * (3 * n_edges + 2 * V_packed * F)
+    b_noreuse = 4 * (3 * n_edges + (n_edges + V_packed) * F)
+    u_low = profiling.hbm_utilization(b_compulsory / t)
+    u_high = profiling.hbm_utilization(b_noreuse / t)
+    results["packed_spmm_hbm_utilization"] = u_low
+    results["packed_spmm_hbm_utilization_noreuse_model"] = u_high
+    results["packed_spmm_bytes_per_edge_compulsory"] = b_compulsory / n_edges
+    if u_low is not None:
+        log(f"packed SpMM HBM utilization: {u_low:.1%} (compulsory traffic) "
+            f"/ {u_high:.1%} (no-reuse gather model)")
+
+    # bf16 packed segment-sum: pure-bandwidth path, halving x/out bytes
+    timing_b = profiling.time_steps(
+        packed_spmm, pb.src, pb.dst, pb.w.astype(jnp.bfloat16),
+        xp.astype(jnp.bfloat16), steps=steps)
+    results["packed_spmm_bf16_edges_per_s"] = n_edges / timing_b.per_step_s
+    results["packed_spmm_bf16_speedup"] = t / timing_b.per_step_s
+    log(f"packed SpMM bf16: {timing_b.per_step_s*1e3:.3f} ms "
+        f"({results['packed_spmm_bf16_speedup']:.2f}x fp32)")
+
+    # 128-row multi-molecule dense blocks (VERDICT r2 #5): pack 4 N=32
+    # molecules block-diagonally into one 128-row block — the MXU's native
+    # tile — and compare fp32 vs bf16 there. 4x the padded FLOPs per
+    # molecule, but bf16 gets a shape it can actually tile.
+    adj128 = np.zeros((BS // 4, 128, 128), np.float32)
+    a_np = np.asarray(batch.adj)
+    for g in range(BS):
+        blk, off = divmod(g, 4)
+        adj128[blk, off * 32:(off + 1) * 32, off * 32:(off + 1) * 32] = a_np[g]
+    x128 = np.asarray(x).reshape(BS // 4, 128, F)
+    spmm_flops_128 = 2 * (BS // 4) * 128 * 128 * F
+    for dt, label in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+        timing_1 = profiling.time_steps(
+            dense_spmm, jnp.asarray(adj128, dt), jnp.asarray(x128, dt),
+            steps=steps)
+        key = "dense_block128_spmm" + ("" if dt == jnp.float32 else "_bf16")
+        results[f"{key}_edges_per_s"] = n_edges / timing_1.per_step_s
+        fps = spmm_flops_128 / timing_1.per_step_s
+        u = profiling.mfu(fps, "float32" if dt == jnp.float32 else "bfloat16")
+        if u is not None:
+            results[f"{key}_mfu"] = u
+        log(f"dense-block-128 SpMM {label}: {timing_1.per_step_s*1e3:.3f} ms "
+            f"-> {n_edges / timing_1.per_step_s:,.0f} real edges/s"
+            + (f", MFU {u:.1%}" if u is not None else ""))
+    if results.get("dense_block128_spmm_bf16_edges_per_s"):
+        results["dense_block128_bf16_speedup"] = (
+            results["dense_block128_spmm_bf16_edges_per_s"]
+            / results["dense_block128_spmm_edges_per_s"])
+
     # ratios vs the reference floors
     for k, ref in REF.items():
         if k in results:

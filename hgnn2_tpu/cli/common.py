@@ -30,12 +30,22 @@ log = logging.getLogger("hgnn2_tpu")
 
 
 def load_records(cfg: TrainConfig):
+    """Returns (records, kind, target_stats, source). source is the data
+    path, or "synthetic" / "synthetic_qm9_like" for generated fallbacks —
+    callers that freeze target stats into artifacts (cli/export.py) must
+    refuse the QM9-shaped fallback's stats."""
     d = cfg.data
     if d.dataset == "synthetic":
         recs = synthetic.three_collinear_points(
             d.n_synthetic, d.n_max, d.dim, d.p, d.c, seed=cfg.seed
         )
-        return recs, "classification", None
+        return recs, "classification", None, "synthetic"
+    if d.dataset == "qm9_synthetic":
+        # explicit request for the QM9-shaped generator (benchmarking /
+        # smoke runs) — same records as the qm9 fallback, minus the warning
+        recs = qm9.synthetic_qm9_like(d.n_synthetic, seed=cfg.seed)
+        log.info("generated %d synthetic QM9-shaped molecules", len(recs))
+        return recs, "regression", stats.compute_target_stats(recs), "synthetic_qm9_like"
     if d.data_path and os.path.isfile(d.data_path):
         recs = qm9.load_cache(d.data_path)
         src = d.data_path
@@ -50,7 +60,22 @@ def load_records(cfg: TrainConfig):
         recs = qm9.synthetic_qm9_like(d.n_synthetic, seed=cfg.seed)
         src = "synthetic_qm9_like"
     log.info("loaded %d molecules from %s", len(recs), src)
-    return recs, "regression", stats.compute_target_stats(recs)
+    return recs, "regression", stats.compute_target_stats(recs), src
+
+
+TARGET_STATS_FILE = "target_stats.npz"
+
+
+def saved_target_stats(ckpt_path: str | None):
+    """Target stats persisted next to a checkpoint at train time, if any.
+    Inference/export drivers prefer these over recomputing from whatever
+    dataset happens to be loadable at export time."""
+    if not ckpt_path:
+        return None
+    path = os.path.join(ckpt_path, TARGET_STATS_FILE)
+    if os.path.exists(path):
+        return stats.TargetStats.load(path)
+    return None
 
 
 def build_model(cfg: TrainConfig, kind: str):
@@ -84,7 +109,7 @@ def run_experiment(cfg: TrainConfig):
     runtime.setup()
     logging.basicConfig(level=logging.INFO, force=True)
     logging.getLogger("hgnn2_tpu").setLevel(logging.INFO)
-    records, kind, tstats = load_records(cfg)
+    records, kind, tstats, _source = load_records(cfg)
     train_recs, valid_recs, test_recs = synthetic.split_80_10_10(
         records, shuffle=cfg.data.shuffle_split, seed=cfg.seed
     )
@@ -95,23 +120,58 @@ def run_experiment(cfg: TrainConfig):
     is_ccn = cfg.model.arch.startswith("ccn")
     task = cfg.data.task if kind == "regression" else None
 
+    mesh = None
+    n_dp = cfg.dp
+    if n_dp == 0:
+        import jax
+
+        n_dp = len(jax.devices())
+    if n_dp > 1:
+        if is_ccn:
+            raise ValueError(
+                "--dp shards dense gnn/lggnn batches; CCN scales by vertex "
+                "sharding instead (parallel/ccn_parallel.py)"
+            )
+        if cfg.batch_size % n_dp:
+            raise ValueError(
+                f"batch size {cfg.batch_size} not divisible by dp={n_dp}"
+            )
+        from hgnn2_tpu.parallel import spmd
+
+        mesh = spmd.make_mesh(n_dp, edge_axis=1)
+        log.info("data parallelism over %d devices", n_dp)
+
     splits = {"train": train_recs, "valid": valid_recs, "test": test_recs}
 
     def make_loader(split):
         recs = splits[split]
         if not recs:
             return None
+        shuffle = split == "train"
         if is_ccn:
-            return batching.CCNLoader(
-                recs, cfg.batch_size, task=task, shuffle=(split == "train")
+            loader = batching.CCNLoader(
+                recs, cfg.batch_size, task=task,
+                shuffle=shuffle and not cfg.data.cache_batches,
             )
-        return batching.DenseLoader(
-            recs,
-            cfg.batch_size,
-            task=task,
-            with_line_graph=cfg.model.arch == "lggnn",
-            shuffle=(split == "train"),
-        )
+        else:
+            loader = batching.DenseLoader(
+                recs,
+                cfg.batch_size,
+                task=task,
+                with_line_graph=cfg.model.arch == "lggnn",
+                # cached batches keep fixed composition; SGD stochasticity
+                # comes from order-level shuffling in CachedLoader
+                shuffle=shuffle and not cfg.data.cache_batches,
+            )
+        if mesh is not None:
+            from hgnn2_tpu.parallel import spmd
+
+            loader = spmd.ShardedLoader(loader, mesh)
+        if cfg.data.cache_batches:
+            loader = batching.CachedLoader(
+                loader, shuffle=shuffle, seed=cfg.seed
+            )
+        return loader
 
     mean = std = 0.0
     accuracy = None
@@ -130,6 +190,13 @@ def run_experiment(cfg: TrainConfig):
     checkpointer = (
         ckpt_lib.Checkpointer(cfg.checkpoint_path) if cfg.checkpoint_path else None
     )
+    if tstats is not None:
+        # persist the training-time normalization so export/predict never
+        # have to recompute (possibly wrong) stats from a different dataset
+        tstats.save(os.path.join(logger.log_dir, TARGET_STATS_FILE))
+        if cfg.checkpoint_path:
+            os.makedirs(cfg.checkpoint_path, exist_ok=True)
+            tstats.save(os.path.join(cfg.checkpoint_path, TARGET_STATS_FILE))
 
     state, history = train_lib.fit(
         model,
@@ -141,6 +208,7 @@ def run_experiment(cfg: TrainConfig):
         accuracy=accuracy,
         logger=logger,
         checkpointer=checkpointer,
+        mesh=mesh,
     )
     if history:
         final = history[-1]
@@ -170,6 +238,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--shuffle", action="store_true")
     p.add_argument("--compat_reference", action="store_true")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel devices (0 = all local devices)")
+    p.add_argument("--no_cache", action="store_true",
+                   help="disable device-resident batch caching (re-pad "
+                        "every epoch like the reference)")
     return p
 
 
@@ -195,4 +268,6 @@ def config_from_args(args, arch: str, dataset: str) -> TrainConfig:
     cfg.data.data_path = args.data_path
     cfg.data.task = args.task
     cfg.data.shuffle_split = args.shuffle
+    cfg.dp = getattr(args, "dp", 1)
+    cfg.data.cache_batches = not getattr(args, "no_cache", False)
     return cfg

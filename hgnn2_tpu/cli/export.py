@@ -41,6 +41,12 @@ def main(argv=None):
     p.add_argument("--platforms", default="tpu,cpu")
     p.add_argument("--data_path", default=None)
     p.add_argument("--n_synthetic", type=int, default=64)
+    p.add_argument("--optim", default="adamax",
+                   help="optimizer the checkpoint was trained with (its "
+                        "opt_state structure must match for restore)")
+    p.add_argument("--stats", default=None,
+                   help="target_stats.npz to bake into the bundle "
+                        "(default: <ckpt>/target_stats.npz)")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
     runtime.setup()
@@ -55,10 +61,34 @@ def main(argv=None):
     cfg.model.n_features = args.nfeatures
     cfg.model.J = args.J
     cfg.model.order = args.update
+    cfg.optim.optim = args.optim
     cfg.data.data_path = args.data_path
     cfg.data.n_synthetic = args.n_synthetic
     cfg.data.task = args.task
-    records, kind, tstats = common.load_records(cfg)
+    records, kind, tstats, source = common.load_records(cfg)
+    # the mean/std frozen into the bundle denormalize every served
+    # prediction forever — prefer the stats persisted at train time, and
+    # refuse to freeze stats recomputed from the synthetic fallback
+    if kind == "regression":
+        if args.stats:
+            from hgnn2_tpu.data import stats as stats_lib
+
+            tstats = stats_lib.TargetStats.load(args.stats)
+            log.info("target stats from --stats %s", args.stats)
+        else:
+            saved = common.saved_target_stats(args.ckpt)
+            if saved is not None:
+                tstats = saved
+                log.info("target stats from %s/%s", args.ckpt,
+                         common.TARGET_STATS_FILE)
+            elif source == "synthetic_qm9_like":
+                raise SystemExit(
+                    "refusing to export: no persisted target stats under "
+                    f"{args.ckpt} and no --data_path — baking stats computed "
+                    "from the synthetic fallback would denormalize every "
+                    "served prediction incorrectly. Pass --stats or "
+                    "--data_path."
+                )
     model = common.build_model(cfg, kind)
     is_ccn = args.arch.startswith("ccn")
     task = args.task if kind == "regression" else None

@@ -33,6 +33,9 @@ def main(argv=None):
     p.add_argument("--update", type=int, default=1)
     p.add_argument("--task", type=int, default=0)
     p.add_argument("--bs", type=int, default=256)
+    p.add_argument("--optim", default="adamax",
+                   help="optimizer the checkpoint was trained with (its "
+                        "opt_state structure must match for restore)")
     p.add_argument("--data_path", default=None)
     p.add_argument("--n_synthetic", type=int, default=256)
     p.add_argument("--out", default="predictions.npz")
@@ -51,8 +54,13 @@ def main(argv=None):
     cfg.model.order = args.update
     cfg.data.data_path = args.data_path
     cfg.data.n_synthetic = args.n_synthetic
+    cfg.optim.optim = args.optim
     cfg.data.task = args.task
-    records, kind, tstats = common.load_records(cfg)
+    records, kind, tstats, _source = common.load_records(cfg)
+    saved = common.saved_target_stats(args.ckpt)
+    if saved is not None:
+        tstats = saved
+        log.info("target stats from %s/%s", args.ckpt, common.TARGET_STATS_FILE)
     model = common.build_model(cfg, kind)
     is_ccn = args.arch.startswith("ccn")
     task = args.task if kind == "regression" else None

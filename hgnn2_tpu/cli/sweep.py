@@ -16,6 +16,7 @@ import dataclasses
 import itertools
 import json
 import logging
+import math
 import os
 
 from hgnn2_tpu.cli import common
@@ -28,6 +29,26 @@ def _floats(s):
 
 def _ints(s):
     return [int(x) for x in s.split(",") if x]
+
+
+def _best_epoch_metrics(history):
+    """Best value over epochs for every valid_* metric (min for losses /
+    error ratios, max for accuracies), each tagged with its epoch. Finite
+    values only — a diverged tail does not erase an earlier good epoch."""
+    best = {}
+    for epoch, row in enumerate(history, 1):
+        for k, v in row.items():
+            if not k.startswith("valid_") or not math.isfinite(v):
+                continue
+            better = (
+                k not in best
+                or (k.endswith("accuracy") and v > best[k])
+                or (not k.endswith("accuracy") and v < best[k])
+            )
+            if better:
+                best[k] = v
+                best[k + "_epoch"] = epoch
+    return best
 
 
 def main(argv=None):
@@ -68,16 +89,24 @@ def main(argv=None):
         _, history = common.run_experiment(cfg)
         final = dict(history[-1]) if history else {}
         rows.append({"name": name, "lr": lr, "L": L, "h": h,
-                     "config": dataclasses.asdict(cfg), "final": final})
+                     "config": dataclasses.asdict(cfg), "final": final,
+                     "best": _best_epoch_metrics(history),
+                     "history": [dict(h_) for h_ in history]})
 
-    # rank: lower valid error ratio / loss is better; higher accuracy is
+    # rank by BEST-epoch valid metric (a point that peaked early then
+    # overfit still beats one that never got there); lower valid error
+    # ratio / loss is better, higher accuracy is better. Diverged points
+    # (NaN/inf metrics) rank last — sorting with NaN keys is undefined in
+    # Python, so non-finite scores map to +inf.
     def score(row):
-        f = row["final"]
+        f = row["best"] or row["final"]
         if "valid_error_ratio" in f:
-            return f["valid_error_ratio"]
-        if "valid_accuracy" in f:
-            return -f["valid_accuracy"]
-        return f.get("valid_loss", float("inf"))
+            v = f["valid_error_ratio"]
+        elif "valid_accuracy" in f:
+            v = -f["valid_accuracy"]
+        else:
+            v = f.get("valid_loss", float("inf"))
+        return v if math.isfinite(v) else float("inf")
 
     rows.sort(key=score)
     summary = {"arch": args.arch, "epochs": args.epochs,

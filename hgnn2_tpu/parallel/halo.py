@@ -147,3 +147,368 @@ def halo_partitioned_spmm(mesh: Mesh, part: HaloPartition):
         check_rep=False,
     )(part.src_local, part.dst_local, part.w, part.export_idx,
       part.import_flat, x)
+
+
+# ---------------------------------------------------------------------------
+# Full LGGNN under halo partitioning.
+#
+# Every line-graph operator reduces to two halo primitives once edges are
+# owned by their SOURCE node's shard:
+#   * node halo — rows of a per-shard (Vl, F) node array referenced by local
+#     edges' remote dst (feeds SpMM, Pm^T/Pd^T and the NB operator's
+#     y[dst] term);
+#   * edge halo — features of the REVERSE edges of cut edges, which live on
+#     the dst node's shard (feeds the NB correction term and turns
+#     Pm/Pd into purely local scatters via
+#     sum_{e: dst=v} f(e)  ==  sum_{e': src=v} f(rev(e'))  — reverse pairs
+#     exchange roles, so the dst-sum over remote-owned edges becomes a
+#     src-sum over local edges of halo-imported reverse features).
+# Reference semantics matched at giant-graph scale:
+# /root/reference/functions/operators.py:68-71 (NB line graph) and
+# functions/utils.py:55 (Pmul).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class HaloLGBundle:
+    """Stacked (leading axis = shard) device arrays for a full packed
+    GNN/LGGNN under halo partitioning, plus replicated per-graph arrays."""
+
+    arrays: dict  # stacked per-shard arrays, shard on 'edge'
+    y: jnp.ndarray  # (B,) replicated
+    gmask: jnp.ndarray  # (B,)
+    n_graphs: int
+    nodes_per_shard: int
+    halo_sizes: dict  # {"node_export": Hx, "node_import": Hi,
+    #                    "edge_export": Gx, "edge_import": Gi}
+
+    @property
+    def n_shards(self) -> int:
+        return self.arrays["x"].shape[0]
+
+
+def build_halo_lg_bundle(pb, n_shards: int) -> HaloLGBundle:
+    """Partition a PackedGraphBatch (typically one giant graph) into
+    n_shards contiguous node ranges with full halo tables for every
+    line-graph operator. Requires num_node_slots % n_shards == 0."""
+    V = pb.num_node_slots
+    if V % n_shards:
+        raise ValueError(f"node slots {V} % n_shards {n_shards} != 0")
+    vl = V // n_shards
+    src = np.asarray(pb.src)
+    dst = np.asarray(pb.dst)
+    w = np.asarray(pb.w, np.float32)
+    rev = np.asarray(pb.rev)
+    emask = np.asarray(pb.edge_mask, np.float32)
+    owner = src // vl
+
+    # edges to shards, original order preserved; global slot map
+    gids = [np.where(owner == s)[0] for s in range(n_shards)]
+    el = max((len(g) for g in gids), default=0)
+    el = max(el, 1)
+    slot_of_edge = np.empty(len(src), np.int64)
+    for s, g in enumerate(gids):
+        slot_of_edge[g] = np.arange(len(g))
+
+    # node halo: per-shard unique remote dst nodes
+    nexports: list[set] = [set() for _ in range(n_shards)]
+    nimp_lists = []
+    for s, g in enumerate(gids):
+        remote = dst[g] // vl != s
+        imp = np.unique(dst[g][remote])
+        nimp_lists.append(imp)
+        for node in imp:
+            nexports[int(node // vl)].add(int(node))
+    nexp_lists = [np.array(sorted(e), dtype=np.int64) for e in nexports]
+    hx = max(max((len(e) for e in nexp_lists), default=0), 1)
+    hi = max(max((len(i) for i in nimp_lists), default=0), 1)
+    nexport_idx = np.zeros((n_shards, hx), np.int32)
+    node_slot = {}
+    for s, lst in enumerate(nexp_lists):
+        nexport_idx[s, : len(lst)] = (lst - s * vl).astype(np.int32)
+        for j, node in enumerate(lst):
+            node_slot[int(node)] = s * hx + j
+    nimport_flat = np.zeros((n_shards, hi), np.int32)
+    for s, imp in enumerate(nimp_lists):
+        for i, node in enumerate(imp):
+            nimport_flat[s, i] = node_slot[int(node)]
+
+    # edge halo: per-shard unique remote REVERSE edges of local edges
+    eexports: list[set] = [set() for _ in range(n_shards)]
+    eimp_lists = []
+    for s, g in enumerate(gids):
+        r = rev[g]
+        r_owner = src[r] // vl
+        imp = np.unique(r[r_owner != s])
+        eimp_lists.append(imp)
+        for ge in imp:
+            eexports[int(src[ge] // vl)].add(int(ge))
+    eexp_lists = [np.array(sorted(e), dtype=np.int64) for e in eexports]
+    gx = max(max((len(e) for e in eexp_lists), default=0), 1)
+    gi = max(max((len(i) for i in eimp_lists), default=0), 1)
+    eexport_idx = np.zeros((n_shards, gx), np.int32)
+    edge_slot = {}
+    for s, lst in enumerate(eexp_lists):
+        eexport_idx[s, : len(lst)] = slot_of_edge[lst].astype(np.int32)
+        for j, ge in enumerate(lst):
+            edge_slot[int(ge)] = s * gx + j
+    eimport_flat = np.zeros((n_shards, gi), np.int32)
+    for s, imp in enumerate(eimp_lists):
+        for i, ge in enumerate(imp):
+            eimport_flat[s, i] = edge_slot[int(ge)]
+
+    # per-shard local edge arrays
+    S = n_shards
+    src_local = np.zeros((S, el), np.int32)
+    dst_ext = np.zeros((S, el), np.int32)
+    w_pad = np.zeros((S, el), np.float32)
+    w_rev = np.zeros((S, el), np.float32)
+    rev_ext = np.tile(np.arange(el, dtype=np.int32), (S, 1))  # self at padding
+    em_pad = np.zeros((S, el), np.float32)
+    for s, g in enumerate(gids):
+        n = len(g)
+        src_local[s, :n] = (src[g] - s * vl).astype(np.int32)
+        # dst into [x_local | node_halo]
+        d = dst[g]
+        remote = d // vl != s
+        imp_pos = {int(node): i for i, node in enumerate(nimp_lists[s])}
+        d_ext = np.where(
+            remote,
+            vl + np.array([imp_pos.get(int(x), 0) for x in d], np.int64),
+            d - s * vl,
+        )
+        dst_ext[s, :n] = d_ext.astype(np.int32)
+        w_pad[s, :n] = w[g]
+        w_rev[s, :n] = w[rev[g]]
+        em_pad[s, :n] = emask[g]
+        # rev into [xl_local | edge_halo]
+        r = rev[g]
+        r_owner = src[r] // vl
+        r_remote = r_owner != s
+        rimp_pos = {int(ge): i for i, ge in enumerate(eimp_lists[s])}
+        r_ext = np.where(
+            r_remote,
+            el + np.array([rimp_pos.get(int(x), 0) for x in r], np.int64),
+            slot_of_edge[r],
+        )
+        rev_ext[s, :n] = r_ext.astype(np.int32)
+
+    x = np.asarray(pb.x)
+    node_gid = np.asarray(pb.node_gid)
+    node_mask = np.asarray(pb.node_mask, np.float32)
+    arrays = {
+        "x": jnp.asarray(x.reshape(S, vl, -1)),
+        "node_gid": jnp.asarray(node_gid.reshape(S, vl)),
+        "node_mask": jnp.asarray(node_mask.reshape(S, vl)),
+        "src_local": jnp.asarray(src_local),
+        "dst_ext": jnp.asarray(dst_ext),
+        "w": jnp.asarray(w_pad),
+        "w_rev": jnp.asarray(w_rev),
+        "rev_ext": jnp.asarray(rev_ext),
+        "edge_mask": jnp.asarray(em_pad),
+        "nexport_idx": jnp.asarray(nexport_idx),
+        "nimport_flat": jnp.asarray(nimport_flat),
+        "eexport_idx": jnp.asarray(eexport_idx),
+        "eimport_flat": jnp.asarray(eimport_flat),
+    }
+    return HaloLGBundle(
+        arrays=arrays,
+        y=jnp.asarray(pb.y),
+        gmask=jnp.asarray(
+            pb.gmask if pb.gmask is not None else np.ones(pb.y.shape, np.float32)
+        ),
+        n_graphs=pb.n_graphs,
+        nodes_per_shard=vl,
+        halo_sizes={"node_export": hx, "node_import": hi,
+                    "edge_export": gx, "edge_import": gi},
+    )
+
+
+class HaloLocalOps:
+    """SparsePackedOps-compatible operator bundle for ONE shard, used inside
+    a shard_map over the 'edge' axis. Aggregation outputs are shard-local by
+    edge ownership; remote reads go through the two halo exchanges
+    (all_gather of the small export buffers — O(S * H * F) instead of the
+    psum path's O(V * F) per apply). comm_log, when given, records the
+    feature width of every halo exchange at trace time for exact
+    comm-volume accounting."""
+
+    def __init__(self, t: dict, J: int, axis: str = "edge",
+                 comm_log: dict | None = None):
+        self.t = t
+        self.J = J
+        self.axis = axis
+        self.comm_log = comm_log
+        vl = t["x"].shape[0]
+        self.vl = vl
+        self.deg = jax.ops.segment_sum(t["w"], t["src_local"], num_segments=vl)
+        deg_ext = self._node_ext(self.deg[:, None])
+        self.dl = (deg_ext[t["dst_ext"], 0] - t["w_rev"]) * t["edge_mask"]
+
+    def _log(self, kind: str, width: int):
+        if self.comm_log is not None:
+            self.comm_log[kind].append(int(width))
+
+    def _node_ext(self, x):
+        """[x_local | halo rows imported from other shards]: (Vl+Hi, F)."""
+        self._log("node_halo", x.shape[-1])
+        exports = x[self.t["nexport_idx"]]
+        gathered = jax.lax.all_gather(exports, self.axis)
+        halo = gathered.reshape(-1, x.shape[-1])[self.t["nimport_flat"]]
+        return jnp.concatenate([x, halo], axis=0)
+
+    def _edge_ext(self, xl):
+        """[xl_local | reverse-edge halo]: (El+Gi, F)."""
+        self._log("edge_halo", xl.shape[-1])
+        exports = xl[self.t["eexport_idx"]]
+        gathered = jax.lax.all_gather(exports, self.axis)
+        halo = gathered.reshape(-1, xl.shape[-1])[self.t["eimport_flat"]]
+        return jnp.concatenate([xl, halo], axis=0)
+
+    def _spmm(self, x):
+        xx = self._node_ext(x)
+        return jax.ops.segment_sum(
+            self.t["w"][:, None] * xx[self.t["dst_ext"]],
+            self.t["src_local"], num_segments=self.vl,
+        )
+
+    def graph_op(self, x):
+        blocks = [x, self.deg[:, None] * x]
+        cur = x
+        applied = 0
+        for j in range(self.J):
+            target = 2**j
+            while applied < target:
+                cur = self._spmm(cur)
+                applied += 1
+            blocks.append(cur)
+        return jnp.concatenate(blocks, axis=1)
+
+    def _nb(self, xl):
+        t = self.t
+        y = jax.ops.segment_sum(
+            t["w"][:, None] * xl, t["src_local"], num_segments=self.vl
+        )
+        yy = self._node_ext(y)
+        xle = self._edge_ext(xl)
+        out = yy[t["dst_ext"]] - t["w_rev"][:, None] * xle[t["rev_ext"]]
+        return out * t["edge_mask"][:, None]
+
+    def lg_graph_op(self, xl):
+        blocks = [xl, self.dl[:, None] * xl]
+        cur = xl
+        applied = 0
+        for j in range(self.J):
+            target = 2**j
+            while applied < target:
+                cur = self._nb(cur)
+                applied += 1
+            blocks.append(cur)
+        return jnp.concatenate(blocks, axis=1)
+
+    def _pm_pd(self, xl, signed: bool):
+        t = self.t
+        xle = self._edge_ext(xl)
+        xrev = xle[t["rev_ext"]]
+        contrib = (xl - xrev) if signed else (xl + xrev)
+        return jax.ops.segment_sum(
+            contrib * t["edge_mask"][:, None],
+            t["src_local"], num_segments=self.vl,
+        )
+
+    def pm(self, xl):
+        return self._pm_pd(xl, signed=False)
+
+    def pd(self, xl):
+        return self._pm_pd(xl, signed=True)
+
+    def _pm_pd_t(self, x, signed: bool):
+        t = self.t
+        xx = self._node_ext(x)
+        a = x[t["src_local"]]
+        b = xx[t["dst_ext"]]
+        out = (a - b) if signed else (a + b)
+        return out * t["edge_mask"][:, None]
+
+    def pm_t(self, x):
+        return self._pm_pd_t(x, signed=False)
+
+    def pd_t(self, x):
+        return self._pm_pd_t(x, signed=True)
+
+    def nb_degrees(self):
+        return self.dl
+
+
+def halo_packed_loss(model, mesh: Mesh, bundle: HaloLGBundle,
+                     kind: str = "regression", mean: float = 0.0,
+                     std: float = 1.0, comm_log: dict | None = None):
+    """Masked training loss of a packed model (bn_axis='edge') over a
+    halo-partitioned bundle; differentiable. Per-shard readouts are partial
+    sums (each shard owns a node range), assembled by one psum of the tiny
+    (B, dim) output block."""
+    from hgnn2_tpu.graphs import PackedGraphBatch
+
+    def local_fwd(variables, arrays, y, gmask):
+        t = jax.tree_util.tree_map(lambda v: v[0], arrays)
+        ops = HaloLocalOps(t, J=model.J, comm_log=comm_log)
+        pb = PackedGraphBatch(
+            x=t["x"], node_gid=t["node_gid"], node_mask=t["node_mask"],
+            src=t["src_local"], dst=t["dst_ext"], w=t["w"],
+            rev=t["rev_ext"], edge_gid=jnp.zeros_like(t["src_local"]),
+            edge_mask=t["edge_mask"], y=y, gmask=gmask,
+            n_graphs=bundle.n_graphs,
+        )
+        out, _ = model.apply(variables, pb, train=True, ops=ops,
+                             mutable=["batch_stats"])
+        out = jax.lax.psum(out, "edge")  # assemble partial readouts
+        if kind == "classification":
+            import optax
+
+            per = optax.softmax_cross_entropy_with_integer_labels(out, y)
+        else:
+            t_norm = (y - mean) / (std + 1e-8)
+            per = (out[:, 0] - t_norm) ** 2
+        loss = (per * gmask).sum() / jnp.maximum(gmask.sum(), 1.0)
+        return loss[None]
+
+    def loss_fn(variables, bundle_arrays=None):
+        arrays = bundle_arrays if bundle_arrays is not None else bundle.arrays
+        losses = shard_map(
+            local_fwd,
+            mesh=mesh,
+            in_specs=(P(), P("edge"), P(), P()),
+            out_specs=P("edge"),
+            check_rep=False,
+        )(variables, arrays, bundle.y, bundle.gmask)
+        return losses.mean()
+
+    return loss_fn
+
+
+def halo_comm_bytes(comm_log: dict, bundle: HaloLGBundle, n_shards: int,
+                    dtype_bytes: int = 4) -> dict:
+    """Exact halo-exchange volume of one traced forward (fill comm_log by
+    tracing a forward through halo_packed_loss). An all_gather of a (H, F)
+    export buffer delivers (S-1) remote buffers to each chip:
+    (S-1) * H * F * dtype_bytes received per chip per exchange. The
+    backward transposes each all_gather into a reduce_scatter of equal
+    volume, doubling the training-step total."""
+    hx = bundle.halo_sizes["node_export"]
+    gx = bundle.halo_sizes["edge_export"]
+    node = sum((n_shards - 1) * hx * f * dtype_bytes
+               for f in comm_log.get("node_halo", []))
+    edge = sum((n_shards - 1) * gx * f * dtype_bytes
+               for f in comm_log.get("edge_halo", []))
+    return {
+        "n_node_halo_fwd": len(comm_log.get("node_halo", [])),
+        "n_edge_halo_fwd": len(comm_log.get("edge_halo", [])),
+        "forward_bytes_per_chip": node + edge,
+        "train_step_bytes_per_chip": 2 * (node + edge),
+        "node_halo_rows": hx,
+        "edge_halo_rows": gx,
+    }
+
+
+def new_comm_log() -> dict:
+    return {"node_halo": [], "edge_halo": []}

@@ -63,6 +63,24 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+class ShardedLoader:
+    """Wraps a batch loader so every yielded batch is sharded on its leading
+    (batch) axis over the mesh's 'data' axis. Composes under
+    data.batching.CachedLoader, which then caches the already-sharded,
+    device-resident batches — the shipped trainer's DP path."""
+
+    def __init__(self, inner, mesh: Mesh):
+        self.inner = inner
+        self.mesh = mesh
+
+    def __iter__(self):
+        for batch in self.inner:
+            yield shard_batch(self.mesh, batch)
+
+    def __len__(self) -> int:
+        return len(self.inner)
+
+
 def make_dp_train_step(train_step: Callable, mesh: Mesh):
     """Wrap a single-chip train step for data parallelism: the batch is
     sharded over 'data' (shard_batch), state replicated (replicate); XLA

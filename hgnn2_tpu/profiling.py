@@ -117,6 +117,34 @@ def mfu(flops_per_s: float, dtype: str = "bfloat16") -> float | None:
     return None if peak is None else flops_per_s / peak
 
 
+# Peak HBM bandwidth per chip, bytes/s (public TPU spec sheets).
+_CHIP_PEAK_HBM = {
+    "v5 lite": 819e9,
+    "v5litepod": 819e9,
+    "v5e": 819e9,
+    "v5p": 2765e9,
+    "v4": 1228e9,
+    "v6": 1640e9,
+}
+
+
+def chip_peak_hbm_bytes_per_s() -> float | None:
+    """Peak HBM bandwidth of the local chip, or None if unknown."""
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _CHIP_PEAK_HBM.items():
+        if key in kind:
+            return peak
+    return None
+
+
+def hbm_utilization(bytes_per_s: float) -> float | None:
+    """Achieved HBM traffic over the chip's peak bandwidth — the roofline
+    metric for bandwidth-bound aggregation kernels (a value near 1.0 means
+    a hand-written kernel cannot go meaningfully faster)."""
+    peak = chip_peak_hbm_bytes_per_s()
+    return None if peak is None else bytes_per_s / peak
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/hgnn2_trace"):
     """jax.profiler trace context; view with tensorboard or xprof."""

@@ -49,6 +49,10 @@ class DataConfig:
     p: float = 0.5
     c: float = 0.5
     shuffle_split: bool = False
+    # build every padded batch once and replay device-resident batches on
+    # later epochs (order-level shuffle); the reference re-pads every batch
+    # on the host every epoch (functions/batching.py:77)
+    cache_batches: bool = True
 
 
 @dataclasses.dataclass
@@ -57,6 +61,9 @@ class TrainConfig:
     epochs: int = 40
     seed: int = 0
     eval_every: int = 1
+    # data parallelism: shard each batch over this many devices (0 = all
+    # local devices, 1 = single device). Dense gnn/lggnn batches only.
+    dp: int = 1
     log_path: str | None = None
     checkpoint_path: str | None = None
     resume: bool = False

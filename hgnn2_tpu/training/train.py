@@ -210,13 +210,22 @@ def fit(
     accuracy: float | None = None,
     logger: metrics_lib.ExperimentLogger | None = None,
     checkpointer=None,
+    mesh=None,
 ):
     """Full training run.
 
     make_loader(split) -> iterable of batches for split in
     {"train", "valid", "test"}; must yield at least one train batch.
+    mesh: optional jax.sharding.Mesh for data parallelism — the loaders are
+    expected to yield batches already sharded over its 'data' axis
+    (parallel.spmd.ShardedLoader); state is replicated here and XLA inserts
+    the gradient/BN collectives.
     """
     train_loader = make_loader("train")
+    # built once — the reference rebuilds (and re-pads) its eval sets every
+    # epoch (scripts/train_mnb.py:25-level loop structure); with CachedLoader
+    # these stay device-resident across the whole run
+    eval_loaders = {split: make_loader(split) for split in ("valid", "test")}
     steps_per_epoch = len(train_loader)
     tx = build_optimizer(cfg.optim, steps_per_epoch)
     sample = next(iter(train_loader))
@@ -227,6 +236,10 @@ def fit(
         restored = checkpointer.restore(state)
         if restored is not None:
             state, start_epoch = restored
+    if mesh is not None:
+        from hgnn2_tpu.parallel import spmd
+
+        state = spmd.replicate(mesh, state)
 
     train_step = make_train_step(kind, mean, std)
     eval_step = make_eval_step(kind, mean, std)
@@ -248,7 +261,7 @@ def fit(
         row = {f"train_{k}": v for k, v in train_m.items()}
         if (epoch + 1) % cfg.eval_every == 0:
             for split in ("valid", "test"):
-                loader = make_loader(split)
+                loader = eval_loaders[split]
                 if loader is not None and len(loader) > 0:
                     for k, v in evaluate(state, loader, eval_step).items():
                         row[f"{split}_{k}"] = v

@@ -52,6 +52,47 @@ def test_dp_step_matches_single_device(mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_cli_dp_run_matches_single_device(tmp_path):
+    """The SHIPPED trainer path (run_experiment: CachedLoader + --dp mesh)
+    reproduces single-device training epoch for epoch."""
+    from hgnn2_tpu.cli import common
+    from hgnn2_tpu.training.config import TrainConfig
+
+    def run(dp, tag):
+        cfg = TrainConfig(batch_size=16, epochs=2, dp=dp,
+                          log_path=str(tmp_path / tag))
+        cfg.model.arch = "gnn"
+        cfg.model.n_layers = 3
+        cfg.model.n_features = 2
+        # sgd: adamax's sign-like update amplifies reduction-order noise
+        cfg.optim.optim = "sgd"
+        cfg.optim.lr = 1e-2
+        cfg.optim.momentum = 0.0
+        cfg.data.dataset = "qm9_synthetic"
+        cfg.data.n_synthetic = 64
+        _, history = common.run_experiment(cfg)
+        return history
+
+    h1 = run(1, "dp1")
+    h8 = run(8, "dp8")
+    assert len(h1) == len(h8) == 2
+    for a, b in zip(h1, h8):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"], rtol=1e-4)
+        np.testing.assert_allclose(a["valid_mae"], b["valid_mae"], rtol=1e-4)
+
+
+def test_cli_dp_rejects_indivisible_batch(tmp_path):
+    from hgnn2_tpu.cli import common
+    from hgnn2_tpu.training.config import TrainConfig
+
+    cfg = TrainConfig(batch_size=30, epochs=1, dp=8,
+                      log_path=str(tmp_path / "x"))
+    cfg.data.dataset = "qm9_synthetic"
+    cfg.data.n_synthetic = 32
+    with pytest.raises(ValueError, match="not divisible"):
+        common.run_experiment(cfg)
+
+
 def test_partitioned_spmm_matches_local(mesh):
     recs, _ = _batch(6, rng_seed=1)
     pb = graphs.make_packed_batch(recs, task=0)

@@ -103,3 +103,52 @@ def test_predict_cli_roundtrip(tmp_path, capsys):
     z = np.load(out)
     assert z["predictions"].shape == (64,)
     assert np.isfinite(z["predictions"]).all()
+
+
+def test_export_uses_training_stats_and_refuses_fallback(tmp_path):
+    """Target stats persist next to the checkpoint at train time; export
+    bakes THOSE into the bundle, and refuses to freeze stats recomputed
+    from the synthetic fallback when they are absent."""
+    import pytest
+
+    from hgnn2_tpu import serving
+    from hgnn2_tpu.cli import common
+    from hgnn2_tpu.cli import export as export_cli
+    from hgnn2_tpu.data import stats as stats_lib
+    from hgnn2_tpu.training.config import TrainConfig
+
+    cache = str(tmp_path / "data.npz")
+    records = qm9.synthetic_qm9_like(48, seed=2)
+    qm9.save_cache(records, cache)
+
+    ck = str(tmp_path / "ck")
+    cfg = TrainConfig(batch_size=16, epochs=1, checkpoint_path=ck,
+                      log_path=str(tmp_path / "log"))
+    cfg.model.arch = "gnn"
+    cfg.model.n_layers = 2
+    cfg.model.n_features = 2
+    cfg.data.data_path = cache
+    common.run_experiment(cfg)
+
+    stats_path = os.path.join(ck, common.TARGET_STATS_FILE)
+    assert os.path.exists(stats_path)
+    train_stats = stats_lib.TargetStats.load(stats_path)
+
+    # export WITHOUT --data_path: must pick up the persisted training stats
+    bundle = str(tmp_path / "bundle")
+    export_cli.main([
+        "--ckpt", ck, "--arch", "gnn", "--L", "2", "--h", "2",
+        "--bs", "8", "--n_max", "32", "--platforms", "cpu", "--out", bundle,
+    ])
+    meta = serving.load_bundle(bundle).meta
+    np.testing.assert_allclose(meta["mean"], float(train_stats.mean[0]))
+    np.testing.assert_allclose(meta["std"], float(train_stats.std[0]))
+
+    # without persisted stats and without a dataset, export must refuse
+    os.remove(stats_path)
+    with pytest.raises(SystemExit, match="refusing to export"):
+        export_cli.main([
+            "--ckpt", ck, "--arch", "gnn", "--L", "2", "--h", "2",
+            "--bs", "8", "--n_max", "32", "--platforms", "cpu",
+            "--out", str(tmp_path / "bundle2"),
+        ])

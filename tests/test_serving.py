@@ -36,8 +36,13 @@ def test_gnn_export_roundtrip(tmp_path, records):
     sm = serving.load_bundle(str(tmp_path / "b"))
     assert sm.kind == "dense"
     assert sm.meta["input_spec"]["x"][0] == [8, 32, 5]
+    # the frozen artifact must not demand labels at inference time,
+    # but call() still accepts a full batch dict (labels filtered out)
+    assert "y" not in sm.meta["input_spec"]
     out = np.asarray(sm.call(serving.batch_to_arrays(batch)))
     np.testing.assert_allclose(out, direct, atol=1e-6)
+    unlabeled = serving.batch_to_arrays(batch, exclude=("y",))
+    np.testing.assert_allclose(np.asarray(sm.call(unlabeled)), direct, atol=1e-6)
 
 
 def test_lggnn_predict_chunks_pads_denormalizes(tmp_path, records):
@@ -94,5 +99,80 @@ def test_ccn_export_roundtrip(tmp_path, records):
     assert sm.kind == "ccn"
     out = np.asarray(sm.call(serving.batch_to_arrays(cb)))
     np.testing.assert_allclose(out, direct, atol=1e-6)
-    with pytest.raises(ValueError, match="dense"):
-        sm.predict(records)
+
+
+def test_ccn_predict_chunks_packs_denormalizes(tmp_path, records):
+    """CCN bundles serve raw GraphRecords: chunked into the exported
+    (V, K, B) bucket, padded, denormalized — mirroring the dense path."""
+    mean, std = 2.0, 3.0
+    k_max = max(r.max_degree() + 1 for r in records)
+    v_cap = 128
+    bsz = 4
+    sample = ccn_mod.make_ccn_batch(
+        records[:bsz], k_max=k_max, vertex_capacity=v_cap, task=0,
+        batch_size=bsz,
+    )
+    model = ccn_mod.CCN1D(hidden=3, n_layers=2, dim_output=1)
+    variables = model.init(jax.random.key(4), sample, train=False)
+    exp = serving.export_model(model, variables, sample, platforms=("cpu",))
+    serving.save_bundle(str(tmp_path / "b"), exp, kind="ccn", task=0,
+                        mean=mean, std=std)
+    sm = serving.load_bundle(str(tmp_path / "b"))
+
+    preds = sm.predict(records)
+    assert preds.shape == (len(records),)
+    # per-graph readouts are independent: a one-record batch is the oracle
+    for i, r in enumerate(records):
+        b = ccn_mod.make_ccn_batch(
+            [r], k_max=k_max, vertex_capacity=v_cap, task=0, batch_size=bsz
+        )
+        o = float(np.asarray(model.apply(variables, b, train=False))[0, 0])
+        np.testing.assert_allclose(preds[i], o * std + mean, rtol=1e-4)
+
+
+def test_packed_predict_chunks_packs_denormalizes(tmp_path, records):
+    """Packed (flat segment-sum) bundles export and serve GraphRecords."""
+    from hgnn2_tpu.nn import packed
+
+    mean, std = -1.0, 0.5
+    v_cap, e_cap, bsz = 128, 512, 4
+    sample = graphs.make_packed_batch(
+        records[:bsz], node_capacity=v_cap, edge_capacity=e_cap, task=0,
+        batch_size=bsz,
+    )
+    model = packed.PackedLGGNN(n_features=2, n_layers=2, J=1, order=2)
+    variables = model.init(jax.random.key(5), sample, train=False)
+    exp = serving.export_model(model, variables, sample, platforms=("cpu",))
+    serving.save_bundle(str(tmp_path / "b"), exp, kind="packed", task=0,
+                        mean=mean, std=std)
+    sm = serving.load_bundle(str(tmp_path / "b"))
+    assert "y" not in sm.meta["input_spec"]
+
+    preds = sm.predict(records)
+    assert preds.shape == (len(records),)
+    for i, r in enumerate(records):
+        b = graphs.make_packed_batch(
+            [r], node_capacity=v_cap, edge_capacity=e_cap, task=0,
+            batch_size=bsz,
+        )
+        o = float(np.asarray(model.apply(variables, b, train=False))[0, 0])
+        np.testing.assert_allclose(preds[i], o * std + mean, rtol=1e-4)
+
+
+def test_packed_predict_rejects_oversized_record(tmp_path, records):
+    from hgnn2_tpu.nn import packed
+
+    small = sorted(records, key=lambda r: r.n_dir_edges)[:2]
+    cap = sum(r.n_dir_edges for r in small) + 2
+    sample = graphs.make_packed_batch(
+        small, node_capacity=48, edge_capacity=cap, task=0, batch_size=2
+    )
+    model = packed.PackedGNN(n_features=2, n_layers=2, J=1)
+    variables = model.init(jax.random.key(6), sample, train=False)
+    exp = serving.export_model(model, variables, sample, platforms=("cpu",))
+    serving.save_bundle(str(tmp_path / "b"), exp, kind="packed", task=0)
+    sm = serving.load_bundle(str(tmp_path / "b"))
+    big = [r for r in records if r.n_dir_edges > cap]
+    assert big, "fixture should contain records above the tiny bucket"
+    with pytest.raises(ValueError, match="packed capacities"):
+        sm.predict(big)
