@@ -10,6 +10,7 @@ parsers. Dataset resolution order for QM9: explicit npz cache ->
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import logging
 import os
 import time
@@ -116,9 +117,71 @@ def run_experiment(cfg: TrainConfig):
     log.info(
         "train/valid/test sizes: %d/%d/%d", len(train_recs), len(valid_recs), len(test_recs)
     )
-    model = build_model(cfg, kind)
     is_ccn = cfg.model.arch.startswith("ccn")
     task = cfg.data.task if kind == "regression" else None
+
+    mean = std = 0.0
+    accuracy = None
+    if kind == "regression":
+        mean = float(tstats.mean[cfg.data.task])
+        std = float(tstats.std[cfg.data.task])
+        accuracy = float(tstats.accuracy[cfg.data.task])
+
+    log_path = cfg.log_path or os.path.join(
+        "runs",
+        f"{cfg.model.arch}_{cfg.data.dataset}_L{cfg.model.n_layers}"
+        f"_h{cfg.model.n_features}_bs{cfg.batch_size}_{int(time.time())}",
+    )
+    logger = metrics_lib.ExperimentLogger(log_path)
+    logger.write_settings(cfg)
+    if tstats is not None:
+        # persist the training-time normalization so export/predict never
+        # have to recompute (possibly wrong) stats from a different dataset
+        tstats.save(os.path.join(logger.log_dir, TARGET_STATS_FILE))
+        if cfg.checkpoint_path:
+            os.makedirs(cfg.checkpoint_path, exist_ok=True)
+            tstats.save(os.path.join(cfg.checkpoint_path, TARGET_STATS_FILE))
+
+    # --- molecule-aligned edge-sharded path (packed models) -------------
+    n_es = cfg.edge_shards
+    if n_es == 0:
+        import jax
+
+        n_es = len(jax.devices())
+    if n_es > 1:
+        if cfg.dp > 1:
+            raise ValueError("--dp and --edge_shards are mutually exclusive")
+        if is_ccn:
+            raise ValueError(
+                "--edge_shards drives packed gnn/lggnn models; CCN scales "
+                "by vertex sharding (parallel/ccn_parallel.py)"
+            )
+        from hgnn2_tpu.nn import packed as packed_mod
+        from hgnn2_tpu.training import sharded as sharded_lib
+
+        m = cfg.model
+        dim_output = 2 if kind == "classification" else m.dim_output
+        if m.arch == "lggnn":
+            pmodel = packed_mod.PackedLGGNN(
+                n_features=m.n_features, n_layers=m.n_layers,
+                dim_output=dim_output, J=m.J, order=m.order, bn_axis="edge")
+        else:
+            pmodel = packed_mod.PackedGNN(
+                n_features=m.n_features, n_layers=m.n_layers,
+                dim_output=dim_output, J=m.J, bn_axis="edge")
+        cfg2 = dataclasses.replace(cfg, edge_shards=n_es)
+        variables, history = sharded_lib.fit_sharded(
+            pmodel, cfg2,
+            {"train": train_recs, "valid": valid_recs, "test": test_recs},
+            kind=kind, mean=mean, std=std, accuracy=accuracy, logger=logger,
+        )
+        if history:
+            logger.log_final(**history[-1])
+            log.info("final: %s",
+                     {k: round(v, 4) for k, v in history[-1].items()})
+        return variables, history
+
+    model = build_model(cfg, kind)
 
     mesh = None
     n_dp = cfg.dp
@@ -173,31 +236,9 @@ def run_experiment(cfg: TrainConfig):
             )
         return loader
 
-    mean = std = 0.0
-    accuracy = None
-    if kind == "regression":
-        mean = float(tstats.mean[cfg.data.task])
-        std = float(tstats.std[cfg.data.task])
-        accuracy = float(tstats.accuracy[cfg.data.task])
-
-    log_path = cfg.log_path or os.path.join(
-        "runs",
-        f"{cfg.model.arch}_{cfg.data.dataset}_L{cfg.model.n_layers}"
-        f"_h{cfg.model.n_features}_bs{cfg.batch_size}_{int(time.time())}",
-    )
-    logger = metrics_lib.ExperimentLogger(log_path)
-    logger.write_settings(cfg)
     checkpointer = (
         ckpt_lib.Checkpointer(cfg.checkpoint_path) if cfg.checkpoint_path else None
     )
-    if tstats is not None:
-        # persist the training-time normalization so export/predict never
-        # have to recompute (possibly wrong) stats from a different dataset
-        tstats.save(os.path.join(logger.log_dir, TARGET_STATS_FILE))
-        if cfg.checkpoint_path:
-            os.makedirs(cfg.checkpoint_path, exist_ok=True)
-            tstats.save(os.path.join(cfg.checkpoint_path, TARGET_STATS_FILE))
-
     state, history = train_lib.fit(
         model,
         make_loader,
@@ -240,6 +281,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--compat_reference", action="store_true")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel devices (0 = all local devices)")
+    p.add_argument("--edge_shards", type=int, default=1,
+                   help="molecule-aligned edge sharding over N devices "
+                        "(0 = all; packed models, zero comm per apply)")
     p.add_argument("--no_cache", action="store_true",
                    help="disable device-resident batch caching (re-pad "
                         "every epoch like the reference)")
@@ -269,5 +313,6 @@ def config_from_args(args, arch: str, dataset: str) -> TrainConfig:
     cfg.data.task = args.task
     cfg.data.shuffle_split = args.shuffle
     cfg.dp = getattr(args, "dp", 1)
+    cfg.edge_shards = getattr(args, "edge_shards", 1)
     cfg.data.cache_batches = not getattr(args, "no_cache", False)
     return cfg

@@ -242,11 +242,15 @@ def make_packed_batch(
     edge_capacity: int | None = None,
     task: int | None = None,
     batch_size: int | None = None,
+    feature_dim: int | None = None,
+    y_dtype=None,
 ) -> PackedGraphBatch:
     """Pack many graphs into flat arrays with static capacities.
 
     batch_size pads the graph axis with empty graphs (gmask 0) so bucketed
-    or sharded execution reuses one compiled program."""
+    or sharded execution reuses one compiled program. An EMPTY record list
+    builds an all-padding batch (every mask 0) — feature_dim and y_dtype
+    must then be given so shapes/dtypes match sibling shards."""
     bs = len(records)
     B = batch_size or bs
     if bs > B:
@@ -260,7 +264,14 @@ def make_packed_batch(
         raise ValueError(f"node capacity too small: {tot_n} nodes > capacity {V}")
     if tot_m > C:
         raise ValueError(f"edge capacity too small: {tot_m} edges > capacity {C}")
-    F = records[0].x.shape[1]
+    if records:
+        F = records[0].x.shape[1]
+    elif feature_dim is not None:
+        F = feature_dim
+    else:
+        raise ValueError("feature_dim is required for an empty record list")
+    if V < 1 or C < 1:
+        raise ValueError("capacities must be >= 1 (padding needs one slot)")
 
     x = np.zeros((V, F), dtype=np.float32)
     node_gid = np.full((V,), B, dtype=np.int32)
@@ -289,11 +300,14 @@ def make_packed_batch(
         n_off += n
         e_off += m
         ys.append(r.y if task is None else r.y[task])
-    y = np.stack([np.asarray(t) for t in ys], axis=0)
-    if not np.issubdtype(y.dtype, np.integer):
-        y = y.astype(np.float32)
-    if B > bs:
-        y = np.concatenate([y, np.zeros((B - bs,) + y.shape[1:], y.dtype)])
+    if ys:
+        y = np.stack([np.asarray(t) for t in ys], axis=0)
+        if not np.issubdtype(y.dtype, np.integer):
+            y = y.astype(np.float32)
+        if B > bs:
+            y = np.concatenate([y, np.zeros((B - bs,) + y.shape[1:], y.dtype)])
+    else:
+        y = np.zeros((B,), y_dtype or np.float32)
     gmask = np.zeros((B,), np.float32)
     gmask[:bs] = 1.0
     return PackedGraphBatch(

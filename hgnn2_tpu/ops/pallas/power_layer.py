@@ -196,19 +196,14 @@ def _bwd_kernel(adj_ref, deg_ref, x_ref, mask_ref, w1_ref, b1_ref, w2_ref,
             preferred_element_type=jnp.float32,
         )
 
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        gw1_ref[:] = jnp.zeros_like(gw1_ref)
-        gb1_ref[:] = jnp.zeros_like(gb1_ref)
-        gw2_ref[:] = jnp.zeros_like(gw2_ref)
-        gb2_ref[:] = jnp.zeros_like(gb2_ref)
-
-    gw1_ref[:] += _kh(x1f, gaf)
-    gw2_ref[:] += _kh(x1f, gbf)
-    gb1_ref[:] += gaf.sum(axis=0)
-    gb2_ref[:] += gbf.sum(axis=0)
+    # per-tile parameter-gradient partials: each grid step writes its OWN
+    # (1, K, H) block (reduced outside the kernel), so no output block is
+    # revisited and Mosaic can pipeline the grid instead of serializing on
+    # an accumulator
+    gw1_ref[:] = _kh(x1f, gaf)[None]
+    gw2_ref[:] = _kh(x1f, gbf)[None]
+    gb1_ref[:] = gaf.sum(axis=0)[None]
+    gb2_ref[:] = gbf.sum(axis=0)[None]
 
     # dL/dx1 = ga @ w1^T + gb @ w2^T, contracted over H
     gx1 = jax.lax.dot_general(
@@ -242,6 +237,7 @@ def _fused_backward(adj, deg, x, mask, w1, b1, w2, b2, g, J, relu_second,
     while B % tb:
         tb -= 1
     grid = (B // tb,)
+    n_tiles = B // tb
     kern = functools.partial(_bwd_kernel, J=J, relu_second=relu_second)
     gx, gw1, gb1, gw2, gb2 = pl.pallas_call(
         kern,
@@ -259,21 +255,22 @@ def _fused_backward(adj, deg, x, mask, w1, b1, w2, b2, g, J, relu_second,
         ],
         out_specs=[
             pl.BlockSpec((tb, N, F), lambda i: (i, 0, 0)),
-            pl.BlockSpec(w1.shape, lambda i: (0, 0)),  # revisited: accumulates
-            pl.BlockSpec(b1.shape, lambda i: (0,)),
-            pl.BlockSpec(w2.shape, lambda i: (0, 0)),
-            pl.BlockSpec(b2.shape, lambda i: (0,)),
+            # per-tile partials (no revisiting -> the grid pipelines)
+            pl.BlockSpec((1,) + w1.shape, lambda i: (i, 0, 0)),
+            pl.BlockSpec((1,) + b1.shape, lambda i: (i, 0)),
+            pl.BlockSpec((1,) + w2.shape, lambda i: (i, 0, 0)),
+            pl.BlockSpec((1,) + b2.shape, lambda i: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, N, F), jnp.float32),
-            jax.ShapeDtypeStruct(w1.shape, jnp.float32),
-            jax.ShapeDtypeStruct(b1.shape, jnp.float32),
-            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
-            jax.ShapeDtypeStruct(b2.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles,) + w1.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles,) + b1.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles,) + w2.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles,) + b2.shape, jnp.float32),
         ],
         interpret=interpret,
     )(adj, deg, x, mask, w1, b1, w2, b2, g)
-    return gx, gw1, gb1, gw2, gb2
+    return gx, gw1.sum(0), gb1.sum(0), gw2.sum(0), gb2.sum(0)
 
 
 def _fwd(adj, deg, x, mask, w1, b1, w2, b2, J, relu_second, tile_b, interpret,

@@ -328,6 +328,11 @@ def make_packed_shards(
     from hgnn2_tpu import graphs as graphs_lib
 
     parts = partition_records(records, n_shards)
+    # empty shards (fewer graphs than shards) still need shape/dtype-
+    # matched all-padding blocks
+    feature_dim = records[0].x.shape[1] if records else None
+    y0 = np.asarray(records[0].y if task is None else records[0].y[task])
+    y_dtype = y0.dtype if np.issubdtype(y0.dtype, np.integer) else np.float32
     batches = []
     for part in parts:
         if len(part) > graphs_per_shard:
@@ -342,6 +347,8 @@ def make_packed_shards(
                 edge_capacity=edge_capacity,
                 task=task,
                 batch_size=graphs_per_shard,
+                feature_dim=feature_dim,
+                y_dtype=y_dtype,
             )
         )
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *batches)

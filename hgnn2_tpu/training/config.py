@@ -64,6 +64,10 @@ class TrainConfig:
     # data parallelism: shard each batch over this many devices (0 = all
     # local devices, 1 = single device). Dense gnn/lggnn batches only.
     dp: int = 1
+    # molecule-aligned edge sharding over this many devices (0 = all): the
+    # packed-model scaling mode with zero comm per operator apply
+    # (training/sharded.py). Mutually exclusive with dp.
+    edge_shards: int = 1
     log_path: str | None = None
     checkpoint_path: str | None = None
     resume: bool = False

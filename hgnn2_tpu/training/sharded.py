@@ -1,0 +1,234 @@
+"""Molecule-aligned edge-sharded training — the headline scaling mode,
+wired into the shipped trainer (cli --edge_shards N).
+
+Molecules never span shards (parallel/spmd.py make_packed_shards), so every
+graph-operator apply is fully local; the only collectives per step are the
+BatchNorm statistics (two (F,) psums + a scalar per BN) and the loss/metric
+reductions — the configuration that can actually reach the >=80% scaling
+north star (BENCH_SCALING.json projection). The psum-replicated and halo
+bundles remain the fallbacks for graphs whose cut cannot be emptied.
+
+The reference has no distribution story at all (SURVEY §2.3); its closest
+regime is the full-batch CCN run its SLURM flags gesture at but never
+execute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from hgnn2_tpu import graphs as graphs_lib
+from hgnn2_tpu.parallel import spmd
+from hgnn2_tpu.training import metrics as metrics_lib
+from hgnn2_tpu.training.config import TrainConfig
+from hgnn2_tpu.training.optim import build_optimizer
+
+log = logging.getLogger("hgnn2_tpu")
+
+
+@dataclasses.dataclass
+class ShardedPackedLoader:
+    """Minibatches of molecule-aligned stacked shards, built once
+    (device-resident) with capacities static across the epoch so one
+    compiled step serves every batch; batch ORDER reshuffles per epoch."""
+
+    records: Sequence
+    batch_size: int
+    n_shards: int
+    task: int | None = None
+    shuffle: bool = False
+    seed: int = 0
+    _batches: list = dataclasses.field(default_factory=list)
+    _epoch: int = 0
+
+    def __post_init__(self):
+        recs = list(self.records)
+        chunks = [recs[s : s + self.batch_size]
+                  for s in range(0, len(recs), self.batch_size)]
+        # static capacities: the worst per-shard load over all minibatches
+        parts = [spmd.partition_records(c, self.n_shards) for c in chunks]
+        vcap = ecap = gcap = 1
+        for part in parts:
+            for shard in part:
+                vcap = max(vcap, sum(r.n_nodes for r in shard))
+                ecap = max(ecap, sum(r.n_dir_edges for r in shard))
+                gcap = max(gcap, len(shard))
+        for chunk in chunks:
+            self._batches.append(spmd.make_packed_shards(
+                chunk, self.n_shards, node_capacity=vcap,
+                edge_capacity=ecap, graphs_per_shard=gcap, task=self.task,
+            ))
+        self.node_capacity, self.edge_capacity = vcap, ecap
+        self.graphs_per_shard = gcap
+
+    def __len__(self):
+        return len(self._batches)
+
+    def __iter__(self):
+        order = np.arange(len(self._batches))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+            self._epoch += 1
+        for i in order:
+            yield self._batches[i]
+
+
+def make_sharded_step_fns(model, mesh: Mesh, tx, kind: str = "regression",
+                          mean: float = 0.0, std: float = 1.0):
+    """(train_step, eval_step) over stacked molecule-aligned shards.
+
+    train_step(params, batch_stats, opt_state, stacked) ->
+        (params, batch_stats, opt_state, metrics)
+    eval_step(params, batch_stats, stacked) -> metrics (incl. 'count')
+    """
+
+    def local_metrics(out, local):
+        y, gmask = local.y, local.gmask
+        if kind == "classification":
+            per = optax.softmax_cross_entropy_with_integer_labels(out, y)
+            hit = (jnp.argmax(out, -1) == y).astype(jnp.float32)
+            num = jnp.stack([(per * gmask).sum(), (hit * gmask).sum()])
+        else:
+            t = (y - mean) / (std + 1e-8)
+            err = out[:, 0] - t
+            num = jnp.stack([((err**2) * gmask).sum(),
+                             (jnp.abs(err) * gmask).sum()])
+        den = gmask.sum()
+        num, den = jax.lax.psum((num, den), "edge")
+        return num, jnp.maximum(den, 1.0)
+
+    def local_train(variables, stacked):
+        local = jax.tree_util.tree_map(lambda v: v[0], stacked)
+        out, upd = model.apply(variables, local, train=True,
+                               mutable=["batch_stats"])
+        num, den = local_metrics(out, local)
+        loss = num[0] / den
+        return loss[None], (num[None], den[None],
+                            upd["batch_stats"])
+
+    def local_eval(variables, stacked):
+        local = jax.tree_util.tree_map(lambda v: v[0], stacked)
+        out = model.apply(variables, local, train=False)
+        num, den = local_metrics(out, local)
+        return num[None], den[None]
+
+    train_sm = shard_map(local_train, mesh=mesh, in_specs=(P(), P("edge")),
+                         out_specs=(P("edge"), (P("edge"), P("edge"), P())),
+                         check_rep=False)
+    eval_sm = shard_map(local_eval, mesh=mesh, in_specs=(P(), P("edge")),
+                        out_specs=(P("edge"), P("edge")), check_rep=False)
+
+    def names(num, den):
+        if kind == "classification":
+            return {"loss": num[0] / den, "accuracy": num[1] / den}
+        return {"loss": num[0] / den, "mae": num[1] / den}
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, stacked):
+        def loss_fn(p):
+            losses, aux = train_sm({"params": p, "batch_stats": batch_stats},
+                                   stacked)
+            return losses.mean(), aux
+
+        grads, (num, den, new_stats) = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        mets = names(num[0], den[0])  # psum'd: every shard row identical
+        return params, new_stats, opt_state, mets
+
+    @jax.jit
+    def eval_step(params, batch_stats, stacked):
+        num, den = eval_sm({"params": params, "batch_stats": batch_stats},
+                           stacked)
+        mets = names(num[0], den[0])
+        mets["count"] = den[0]
+        return mets
+
+    return train_step, eval_step
+
+
+def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
+                mean: float = 0.0, std: float = 1.0,
+                accuracy: float | None = None,
+                logger: metrics_lib.ExperimentLogger | None = None):
+    """Training run over molecule-aligned shards (cfg.edge_shards devices).
+
+    splits: {"train": records, "valid": records, "test": records}.
+    Returns (variables, history) — same history schema as train.fit.
+    """
+    n_shards = cfg.edge_shards
+    mesh = Mesh(np.array(jax.devices()[:n_shards]).reshape(1, n_shards),
+                ("data", "edge"))
+    task = cfg.data.task
+    loaders = {
+        split: ShardedPackedLoader(
+            recs, cfg.batch_size, n_shards, task=task,
+            shuffle=(split == "train"), seed=cfg.seed,
+        ) if recs else None
+        for split, recs in splits.items()
+    }
+    train_loader = loaders["train"]
+    tx = build_optimizer(cfg.optim, steps_per_epoch=len(train_loader))
+
+    sample_local = jax.tree_util.tree_map(
+        lambda v: v[0], train_loader._batches[0])
+    # init with the axis-free twin (identical params/stats structure)
+    init_model = model.clone(bn_axis=None)
+    variables = init_model.init(jax.random.key(cfg.seed), sample_local,
+                                train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+
+    with jax.sharding.set_mesh(mesh):
+        train_step, eval_step = make_sharded_step_fns(
+            model, mesh, tx, kind=kind, mean=mean, std=std)
+        history = []
+        log.info("edge-sharded training: %d shards, %d epochs x %d steps",
+                 n_shards, cfg.epochs, len(train_loader))
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            device_mets = []
+            for stacked in train_loader:
+                params, batch_stats, opt_state, mets = train_step(
+                    params, batch_stats, opt_state, stacked)
+                device_mets.append(mets)
+            row = {
+                f"train_{k}": float(v) for k, v in jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs).mean(), *device_mets).items()
+            }
+            for split in ("valid", "test"):
+                loader = loaders[split]
+                if loader is None or (epoch + 1) % cfg.eval_every:
+                    continue
+                sums, total = {}, 0.0
+                for stacked in loader:
+                    mets = eval_step(params, batch_stats, stacked)
+                    n = float(mets.pop("count"))
+                    total += n
+                    for k, v in mets.items():
+                        sums[k] = sums.get(k, 0.0) + float(v) * n
+                for k, v in sums.items():
+                    row[f"{split}_{k}"] = v / max(total, 1.0)
+                    if k == "mae" and accuracy:
+                        row[f"{split}_error_ratio"] = row[f"{split}_{k}"] / accuracy
+            row["epoch_time_s"] = time.time() - t0
+            history.append(row)
+            log.info("epoch %d done in %.1fs: %s", epoch + 1,
+                     row["epoch_time_s"],
+                     {k: round(v, 4) for k, v in row.items()
+                      if k != "epoch_time_s"})
+            if logger is not None:
+                logger.log_epoch(epoch + 1, **row)
+    return {"params": params, "batch_stats": batch_stats}, history
