@@ -270,12 +270,7 @@ def main():
         "xla": make_grad(xla_fwd),
         "fused_fwd_jnp_bwd": make_grad(
             lambda x, w1, b1, w2, b2: pal.fused_power_layer(
-                adj2, deg2, x, mask2, w1, b1, w2, b2, J2, True, 8, False,
-                False)),
-        "fused_fwd_pallas_bwd": make_grad(
-            lambda x, w1, b1, w2, b2: pal.fused_power_layer(
-                adj2, deg2, x, mask2, w1, b1, w2, b2, J2, True, 8, False,
-                True)),
+                adj2, deg2, x, mask2, w1, b1, w2, b2, J2, True, 8, False)),
     }
     grad_rows = {"config": f"B={B2} N={N2} F=H={H2} J={J2}, full grad step"}
     for name, fn in variants.items():

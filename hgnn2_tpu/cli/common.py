@@ -151,29 +151,34 @@ def run_experiment(cfg: TrainConfig):
     if n_es > 1:
         if cfg.dp > 1:
             raise ValueError("--dp and --edge_shards are mutually exclusive")
-        if is_ccn:
-            raise ValueError(
-                "--edge_shards drives packed gnn/lggnn models; CCN scales "
-                "by vertex sharding (parallel/ccn_parallel.py)"
-            )
-        from hgnn2_tpu.nn import packed as packed_mod
         from hgnn2_tpu.training import sharded as sharded_lib
 
         m = cfg.model
         dim_output = 2 if kind == "classification" else m.dim_output
-        if m.arch == "lggnn":
-            pmodel = packed_mod.PackedLGGNN(
-                n_features=m.n_features, n_layers=m.n_layers,
-                dim_output=dim_output, J=m.J, order=m.order, bn_axis="edge")
+        if is_ccn:
+            # CCN's parallel axis is the flattened vertex set: molecules
+            # packed whole per shard, no per-layer collective
+            pmodel = build_model(cfg, kind)
+            family = "ccn"
         else:
-            pmodel = packed_mod.PackedGNN(
-                n_features=m.n_features, n_layers=m.n_layers,
-                dim_output=dim_output, J=m.J, bn_axis="edge")
+            from hgnn2_tpu.nn import packed as packed_mod
+
+            family = "packed"
+            if m.arch == "lggnn":
+                pmodel = packed_mod.PackedLGGNN(
+                    n_features=m.n_features, n_layers=m.n_layers,
+                    dim_output=dim_output, J=m.J, order=m.order,
+                    bn_axis="edge")
+            else:
+                pmodel = packed_mod.PackedGNN(
+                    n_features=m.n_features, n_layers=m.n_layers,
+                    dim_output=dim_output, J=m.J, bn_axis="edge")
         cfg2 = dataclasses.replace(cfg, edge_shards=n_es)
         variables, history = sharded_lib.fit_sharded(
             pmodel, cfg2,
             {"train": train_recs, "valid": valid_recs, "test": test_recs},
             kind=kind, mean=mean, std=std, accuracy=accuracy, logger=logger,
+            family=family,
         )
         if history:
             logger.log_final(**history[-1])
@@ -192,8 +197,8 @@ def run_experiment(cfg: TrainConfig):
     if n_dp > 1:
         if is_ccn:
             raise ValueError(
-                "--dp shards dense gnn/lggnn batches; CCN scales by vertex "
-                "sharding instead (parallel/ccn_parallel.py)"
+                "--dp shards dense gnn/lggnn batches; scale CCN with "
+                "--edge_shards (vertex sharding, parallel/ccn_parallel.py)"
             )
         if cfg.batch_size % n_dp:
             raise ValueError(

@@ -16,25 +16,24 @@ Operator powers are computed in-kernel by repeated application (A^(2^j) x
 via 2^j successive dots), so the (B, J, N, N) power stack is never
 materialized.
 
-The op carries a custom VJP with two backward implementations, both
-rematerializing x1 (never stored):
-  * fused_bwd=False (default) — plain jnp; XLA fuses the recompute into
-    the backward matmuls.
-  * fused_bwd=True — a single Pallas kernel: x1 rebuilt in VMEM from the
-    adjacency tile, relu masks from recomputed pre-activations, parameter
-    gradients accumulated across batch tiles in revisited output blocks,
-    dL/dx pushed through each operator's A^T in-kernel. Equivalent by test
-    (tests/test_pallas.py) and kept for schedules where XLA's backward
-    layout regresses.
-Adjacency/degree/mask are data (zero cotangents) either way.
+The op carries a custom VJP whose backward is plain jnp, rematerializing
+x1 (never stored) so XLA fuses the recompute into the backward matmuls.
+Adjacency/degree/mask are data (zero cotangents).
+
+A fully-Pallas backward kernel was built and measured twice and REMOVED:
+the first version accumulated parameter gradients in revisited output
+blocks (serializing the Mosaic grid); the tuned version wrote per-tile
+augmented [W|b]-gradient partials reduced outside the kernel — and still
+lost to this jnp backward at the showcase config (B=64 N=256 F=H=64 J=2:
+XLA 1.00 ms, fused fwd + jnp bwd 1.03 ms, fused fwd + Pallas bwd 1.23 ms,
+BENCH_DETAILS.json fused_power_layer_grad_step_ms). XLA's backward layout
+is already good here; the kernel was maintenance surface, not capability
+(git history: ops/pallas/power_layer.py before round 3 keeps the code).
 
 Measured on a v5e chip: at the tiny QM9 shapes (N=32, F=1-8) XLA's
 batched-einsum layout wins decisively — Mosaic serializes the small
 per-graph matmuls — so this kernel is opt-in (GNNSimple(fused=True)), not
-the default. At large-graph tiles (B=64, N=256, F=H=64, J=2), full
-grad-step timings: XLA 1.13 ms, fused fwd + jnp bwd 1.03 ms, fused fwd +
-Pallas bwd 1.11 ms — both fused variants beat the XLA baseline; outputs
-and gradients match to 1e-4/1e-5 rel.
+the default; its win is forward-path-only at large-graph tiles.
 """
 
 from __future__ import annotations
@@ -122,10 +121,9 @@ def _fused_forward(adj, deg, x, mask, w1, b1, w2, b2, J, relu_second, tile_b,
     )(adj, deg, x, mask, w1, b1, w2, b2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def fused_power_layer(adj, deg, x, mask, w1, b1, w2, b2,
-                      J=1, relu_second=True, tile_b=8, interpret=False,
-                      fused_bwd=False):
+                      J=1, relu_second=True, tile_b=8, interpret=False):
     """Fused layer body. adj: (B,N,N), deg/mask: (B,N), x: (B,N,F),
     w1/w2: ((J+2)F, H), b1/b2: (H,). Returns (B, N, 2H) = [cv2|cv1]."""
     return _fused_forward(adj, deg, x, mask, w1, b1, w2, b2, J, relu_second,
@@ -146,152 +144,13 @@ def _ref_blocks(adj, deg, x, mask, J):
     return jnp.concatenate(blocks, axis=-1)
 
 
-def _bwd_kernel(adj_ref, deg_ref, x_ref, mask_ref, w1_ref, b1_ref, w2_ref,
-                b2_ref, g_ref, gx_ref, gw1_ref, gb1_ref, gw2_ref, gb2_ref,
-                *, J: int, relu_second: bool):
-    """Whole backward in one pass per batch tile: rematerialize x1 from the
-    VMEM-resident adjacency tile, recompute relu masks, accumulate the
-    parameter gradients into revisited output blocks, and push dL/dx1 back
-    through [diag(mask) | diag(deg) | A^(2^j)] transposes in-kernel."""
-    adj = adj_ref[:]
-    x = x_ref[:]
-    mask = mask_ref[:][..., None]
-    deg = deg_ref[:][..., None]
-    blocks = [x * mask, deg * x]
-    cur = x
-    applied = 0
-    for j in range(J):
-        target = 2**j
-        while applied < target:
-            cur = _apply_adj(adj, cur)
-            applied += 1
-        blocks.append(cur)
-    x1 = jnp.concatenate(blocks, axis=-1)  # (TB, N, K)
-
-    w1 = w1_ref[:]
-    w2 = w2_ref[:]
-    g = g_ref[:]
-    H = w1.shape[1]
-    pre_a = jax.lax.dot_general(
-        x1, w1, dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[:]
-    pre_b = jax.lax.dot_general(
-        x1, w2, dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b2_ref[:]
-    gb, ga = g[..., :H], g[..., H:]
-    ga = jnp.where(pre_a > 0, ga, 0.0)
-    if relu_second:
-        gb = jnp.where(pre_b > 0, gb, 0.0)
-
-    tb, n, K = x1.shape
-    x1f = x1.reshape(tb * n, K)
-    gaf = ga.reshape(tb * n, H)
-    gbf = gb.reshape(tb * n, H)
-
-    def _kh(lhs, rhs):  # (TN, K) x (TN, H) -> (K, H)
-        return jax.lax.dot_general(
-            lhs, rhs, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    # per-tile parameter-gradient partials: each grid step writes its OWN
-    # (1, K, H) block (reduced outside the kernel), so no output block is
-    # revisited and Mosaic can pipeline the grid instead of serializing on
-    # an accumulator
-    gw1_ref[:] = _kh(x1f, gaf)[None]
-    gw2_ref[:] = _kh(x1f, gbf)[None]
-    gb1_ref[:] = gaf.sum(axis=0)[None]
-    gb2_ref[:] = gbf.sum(axis=0)[None]
-
-    # dL/dx1 = ga @ w1^T + gb @ w2^T, contracted over H
-    gx1 = jax.lax.dot_general(
-        ga, w1, dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        gb, w2, dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    F = x.shape[-1]
-    gx = gx1[..., :F] * mask + deg * gx1[..., F : 2 * F]
-    for j in range(J):
-        target = 2**j
-        cur = gx1[..., (j + 2) * F : (j + 3) * F]
-        for _ in range(target):
-            # A^T g: contract adjacency dim 1 (rows) with g's node dim
-            cur = jax.lax.dot_general(
-                adj, cur,
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-        gx = gx + cur
-    gx_ref[:] = gx
-
-
-def _fused_backward(adj, deg, x, mask, w1, b1, w2, b2, g, J, relu_second,
-                    tile_b, interpret):
-    B, N, F = x.shape
-    H = w1.shape[1]
-    tb = min(tile_b, B)
-    while B % tb:
-        tb -= 1
-    grid = (B // tb,)
-    n_tiles = B // tb
-    kern = functools.partial(_bwd_kernel, J=J, relu_second=relu_second)
-    gx, gw1, gb1, gw2, gb2 = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tb, N, N), lambda i: (i, 0, 0)),
-            pl.BlockSpec((tb, N), lambda i: (i, 0)),
-            pl.BlockSpec((tb, N, F), lambda i: (i, 0, 0)),
-            pl.BlockSpec((tb, N), lambda i: (i, 0)),
-            pl.BlockSpec(w1.shape, lambda i: (0, 0)),
-            pl.BlockSpec(b1.shape, lambda i: (0,)),
-            pl.BlockSpec(w2.shape, lambda i: (0, 0)),
-            pl.BlockSpec(b2.shape, lambda i: (0,)),
-            pl.BlockSpec((tb, N, 2 * H), lambda i: (i, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((tb, N, F), lambda i: (i, 0, 0)),
-            # per-tile partials (no revisiting -> the grid pipelines)
-            pl.BlockSpec((1,) + w1.shape, lambda i: (i, 0, 0)),
-            pl.BlockSpec((1,) + b1.shape, lambda i: (i, 0)),
-            pl.BlockSpec((1,) + w2.shape, lambda i: (i, 0, 0)),
-            pl.BlockSpec((1,) + b2.shape, lambda i: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, N, F), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles,) + w1.shape, jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles,) + b1.shape, jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles,) + w2.shape, jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles,) + b2.shape, jnp.float32),
-        ],
-        interpret=interpret,
-    )(adj, deg, x, mask, w1, b1, w2, b2, g)
-    return gx, gw1.sum(0), gb1.sum(0), gw2.sum(0), gb2.sum(0)
-
-
-def _fwd(adj, deg, x, mask, w1, b1, w2, b2, J, relu_second, tile_b, interpret,
-         fused_bwd):
+def _fwd(adj, deg, x, mask, w1, b1, w2, b2, J, relu_second, tile_b, interpret):
     out = _fused_forward(adj, deg, x, mask, w1, b1, w2, b2, J, relu_second,
                          tile_b, interpret)
     return out, (adj, deg, x, mask, w1, b1, w2, b2)
 
 
-def _bwd(J, relu_second, tile_b, interpret, fused_bwd, res, g):
-    adj, deg, x, mask, w1, b1, w2, b2 = res
-    if fused_bwd:
-        gx, gw1, gb1, gw2, gb2 = _fused_backward(
-            adj, deg, x, mask, w1, b1, w2, b2, g, J, relu_second, tile_b,
-            interpret)
-        zeros = lambda a: jnp.zeros_like(a)
-        return (zeros(adj), zeros(deg), gx, zeros(mask), gw1, gb1, gw2, gb2)
-    return _bwd_jnp(J, relu_second, res, g)
-
-
-def _bwd_jnp(J, relu_second, res, g):
+def _bwd(J, relu_second, tile_b, interpret, res, g):
     adj, deg, x, mask, w1, b1, w2, b2 = res
     H = w1.shape[1]
     x1 = _ref_blocks(adj, deg, x, mask, J)  # recompute (B, N, (J+2)F)

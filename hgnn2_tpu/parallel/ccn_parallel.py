@@ -43,6 +43,9 @@ def make_ccn_shards(
     """Partition molecules into n_shards balanced shards and stack their
     CCNBatches along a new leading axis (to be sharded over 'edge')."""
     parts = spmd.partition_records(records, n_shards)
+    feature_dim = records[0].x.shape[1] if records else None
+    y0 = np.asarray(records[0].y if task is None else records[0].y[task])
+    y_dtype = y0.dtype if np.issubdtype(y0.dtype, np.integer) else np.float32
     batches = []
     for part in parts:
         if len(part) > graphs_per_shard:
@@ -56,6 +59,8 @@ def make_ccn_shards(
                 vertex_capacity=vertex_capacity,
                 task=task,
                 batch_size=graphs_per_shard,
+                feature_dim=feature_dim,
+                y_dtype=y_dtype,
             )
         )
     stacked = jax.tree_util.tree_map(

@@ -84,6 +84,52 @@ class ShardedPackedLoader:
             yield self._batches[i]
 
 
+@dataclasses.dataclass
+class ShardedCCNLoader:
+    """Minibatches of vertex-sharded stacked CCN batches (molecules whole
+    per shard), built once with epoch-static capacities."""
+
+    records: Sequence
+    batch_size: int
+    n_shards: int
+    task: int | None = None
+    shuffle: bool = False
+    seed: int = 0
+    _batches: list = dataclasses.field(default_factory=list)
+    _epoch: int = 0
+
+    def __post_init__(self):
+        from hgnn2_tpu.parallel import ccn_parallel
+
+        recs = list(self.records)
+        k_max = max(r.max_degree() + 1 for r in recs)
+        chunks = [recs[s : s + self.batch_size]
+                  for s in range(0, len(recs), self.batch_size)]
+        parts = [spmd.partition_records(c, self.n_shards) for c in chunks]
+        vcap = gcap = 1
+        for part in parts:
+            for shard in part:
+                vcap = max(vcap, sum(r.n_nodes for r in shard))
+                gcap = max(gcap, len(shard))
+        for chunk in chunks:
+            self._batches.append(ccn_parallel.make_ccn_shards(
+                chunk, self.n_shards, k_max=k_max, vertex_capacity=vcap,
+                graphs_per_shard=gcap, task=self.task,
+            ))
+
+    def __len__(self):
+        return len(self._batches)
+
+    def __iter__(self):
+        order = np.arange(len(self._batches))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+            self._epoch += 1
+        for i in order:
+            yield self._batches[i]
+
+
 def make_sharded_step_fns(model, mesh: Mesh, tx, kind: str = "regression",
                           mean: float = 0.0, std: float = 1.0):
     """(train_step, eval_step) over stacked molecule-aligned shards.
@@ -158,21 +204,91 @@ def make_sharded_step_fns(model, mesh: Mesh, tx, kind: str = "regression",
     return train_step, eval_step
 
 
+def make_ccn_sharded_step_fns(model, mesh: Mesh, tx,
+                              kind: str = "regression",
+                              mean: float = 0.0, std: float = 1.0):
+    """(train_step, eval_step) over stacked vertex-sharded CCN batches.
+    CCN models carry no batch statistics, so sharded execution is exactly
+    single-chip math (chi gathers stay within a shard; only the loss and
+    metric reductions cross shards). Signatures mirror
+    make_sharded_step_fns (batch_stats is accepted and ignored)."""
+
+    def local_metrics(out, local):
+        y, gmask = local.y, local.gmask
+        if kind == "classification":
+            per = optax.softmax_cross_entropy_with_integer_labels(out, y)
+            hit = (jnp.argmax(out, -1) == y).astype(jnp.float32)
+            num = jnp.stack([(per * gmask).sum(), (hit * gmask).sum()])
+        else:
+            t = (y - mean) / (std + 1e-8)
+            err = out[..., 0] - t
+            num = jnp.stack([((err**2) * gmask).sum(),
+                             (jnp.abs(err) * gmask).sum()])
+        den = gmask.sum()
+        num, den = jax.lax.psum((num, den), "edge")
+        return num, jnp.maximum(den, 1.0)
+
+    def local_fwd(variables, stacked, train):
+        local = jax.tree_util.tree_map(lambda v: v[0], stacked)
+        out = model.apply(variables, local, train=train)
+        num, den = local_metrics(out, local)
+        loss = num[0] / den
+        return loss[None], (num[None], den[None])
+
+    train_sm = shard_map(
+        lambda v, s: local_fwd(v, s, True), mesh=mesh,
+        in_specs=(P(), P("edge")), out_specs=(P("edge"), (P("edge"), P("edge"))),
+        check_rep=False)
+    eval_sm = shard_map(
+        lambda v, s: local_fwd(v, s, False), mesh=mesh,
+        in_specs=(P(), P("edge")), out_specs=(P("edge"), (P("edge"), P("edge"))),
+        check_rep=False)
+
+    def names(num, den):
+        if kind == "classification":
+            return {"loss": num[0] / den, "accuracy": num[1] / den}
+        return {"loss": num[0] / den, "mae": num[1] / den}
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, stacked):
+        def loss_fn(p):
+            losses, aux = train_sm({"params": p}, stacked)
+            return losses.mean(), aux
+
+        grads, (num, den) = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, batch_stats, opt_state, names(num[0], den[0])
+
+    @jax.jit
+    def eval_step(params, batch_stats, stacked):
+        _, (num, den) = eval_sm({"params": params}, stacked)
+        mets = names(num[0], den[0])
+        mets["count"] = den[0]
+        return mets
+
+    return train_step, eval_step
+
+
 def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
                 mean: float = 0.0, std: float = 1.0,
                 accuracy: float | None = None,
-                logger: metrics_lib.ExperimentLogger | None = None):
-    """Training run over molecule-aligned shards (cfg.edge_shards devices).
+                logger: metrics_lib.ExperimentLogger | None = None,
+                family: str = "packed"):
+    """Training run over graph-aligned shards (cfg.edge_shards devices).
 
+    family: "packed" (molecule-aligned edge sharding, PackedGNN/PackedLGGNN
+    with bn_axis='edge') or "ccn" (vertex sharding, CCN1D/CCN2D).
     splits: {"train": records, "valid": records, "test": records}.
     Returns (variables, history) — same history schema as train.fit.
     """
     n_shards = cfg.edge_shards
     mesh = Mesh(np.array(jax.devices()[:n_shards]).reshape(1, n_shards),
                 ("data", "edge"))
-    task = cfg.data.task
+    task = cfg.data.task if kind == "regression" else None
+    loader_cls = ShardedCCNLoader if family == "ccn" else ShardedPackedLoader
     loaders = {
-        split: ShardedPackedLoader(
+        split: loader_cls(
             recs, cfg.batch_size, n_shards, task=task,
             shuffle=(split == "train"), seed=cfg.seed,
         ) if recs else None
@@ -183,16 +299,19 @@ def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
 
     sample_local = jax.tree_util.tree_map(
         lambda v: v[0], train_loader._batches[0])
-    # init with the axis-free twin (identical params/stats structure)
-    init_model = model.clone(bn_axis=None)
+    # init outside the shard_map: packed models use the bn_axis-free twin
+    # (identical params/stats structure); CCN models have no axis state
+    init_model = model if family == "ccn" else model.clone(bn_axis=None)
     variables = init_model.init(jax.random.key(cfg.seed), sample_local,
                                 train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
 
+    make_fns = (make_ccn_sharded_step_fns if family == "ccn"
+                else make_sharded_step_fns)
     with jax.sharding.set_mesh(mesh):
-        train_step, eval_step = make_sharded_step_fns(
+        train_step, eval_step = make_fns(
             model, mesh, tx, kind=kind, mean=mean, std=std)
         history = []
         log.info("edge-sharded training: %d shards, %d epochs x %d steps",

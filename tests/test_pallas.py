@@ -97,20 +97,30 @@ def test_fused_model_matches_unfused(rng):
     )
 
 
-def test_pallas_bwd_matches_jnp_bwd(rng):
-    """The fused (Pallas) backward and the jnp fallback backward are the
-    same function of the residuals."""
+def test_fused_layer_custom_vjp_matches_autodiff_oracle(rng):
+    """The custom (rematerializing) backward equals autodiff through the
+    reference jnp forward. (A fully-Pallas backward kernel existed and was
+    removed after losing to this path at every measured config — see the
+    module docstring.)"""
+    from hgnn2_tpu.ops.pallas.power_layer import _ref_blocks
+
     J = 2
     adj, deg, x, mask, w1, b1, w2, b2 = _inputs(rng, J=J)
 
-    def loss(x, w1, b1, w2, b2, fused_bwd):
+    def loss_fused(x, w1, b1, w2, b2):
         return (
             fused_power_layer(adj, deg, x, mask, w1, b1, w2, b2, J, True, 8,
-                              True, fused_bwd) ** 2
+                              True) ** 2
         ).sum()
 
-    g_pl = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2, True)
-    g_np = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2, False)
-    for a, b in zip(g_pl, g_np):
+    def loss_ref(x, w1, b1, w2, b2):
+        x1 = _ref_blocks(adj, deg, x, mask, J)
+        a = jnp.maximum(jnp.einsum("bnk,kh->bnh", x1, w1) + b1, 0.0)
+        b = jnp.maximum(jnp.einsum("bnk,kh->bnh", x1, w2) + b2, 0.0)
+        return (jnp.concatenate([b, a], -1) ** 2).sum()
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(g_f, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    rtol=1e-5)

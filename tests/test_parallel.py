@@ -118,6 +118,34 @@ def test_cli_edge_sharded_trainer_shard_count_invariant(tmp_path):
     assert np.isfinite(hg[-1]["train_loss"])
 
 
+def test_cli_ccn_vertex_sharded_trainer(tmp_path):
+    """--edge_shards on a CCN arch routes to vertex sharding: exact
+    single-chip math (no BN), so 2 and 4 shards agree tightly."""
+    from hgnn2_tpu.cli import common
+    from hgnn2_tpu.training.config import TrainConfig
+
+    def run(n_shards, tag):
+        cfg = TrainConfig(batch_size=16, epochs=2, edge_shards=n_shards,
+                          log_path=str(tmp_path / tag))
+        cfg.model.arch = "ccn1d"
+        cfg.model.n_layers = 2
+        cfg.model.n_features = 3
+        cfg.optim.optim = "sgd"
+        cfg.optim.lr = 1e-4
+        cfg.optim.momentum = 0.0
+        cfg.data.dataset = "qm9_synthetic"
+        cfg.data.n_synthetic = 48
+        _, history = common.run_experiment(cfg)
+        return history
+
+    h2 = run(2, "vs2")
+    h4 = run(4, "vs4")
+    for a, b in zip(h2, h4):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(a["valid_mae"], b["valid_mae"], rtol=1e-4)
+
+
 def test_cli_dp_rejects_indivisible_batch(tmp_path):
     from hgnn2_tpu.cli import common
     from hgnn2_tpu.training.config import TrainConfig
