@@ -35,6 +35,23 @@ class Checkpointer:
         self.manager.save(epoch, args=ocp.args.StandardSave(payload))
         self.manager.wait_until_finished()
 
+    def save_tree(self, tree: dict, step: int) -> None:
+        """Save an arbitrary pytree payload (the sharded trainer's
+        params/batch_stats/opt_state dict) at step."""
+        self.manager.save(step, args=ocp.args.StandardSave(tree))
+        self.manager.wait_until_finished()
+
+    def restore_tree(self, template: dict) -> tuple[dict, int] | None:
+        """Restore the latest payload into template's structure; returns
+        (payload, step) or None when no checkpoint exists."""
+        latest = self.manager.latest_step()
+        if latest is None:
+            return None
+        restored = self.manager.restore(
+            latest, args=ocp.args.StandardRestore(template)
+        )
+        return restored, int(latest)
+
     def restore(self, state) -> tuple[Any, int] | None:
         """Restore into the structure of `state`; returns (state, epoch)."""
         latest = self.manager.latest_step()

@@ -32,6 +32,7 @@ from hgnn2_tpu.parallel import spmd
 from hgnn2_tpu.training import metrics as metrics_lib
 from hgnn2_tpu.training.config import TrainConfig
 from hgnn2_tpu.training.optim import build_optimizer
+from hgnn2_tpu.training.preemption import GracefulShutdown
 
 log = logging.getLogger("hgnn2_tpu")
 
@@ -308,15 +309,39 @@ def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
 
+    checkpointer = None
+    start_epoch = 0
+    if cfg.checkpoint_path:
+        from hgnn2_tpu.training import checkpoint as ckpt_lib
+
+        checkpointer = ckpt_lib.Checkpointer(cfg.checkpoint_path)
+        if cfg.resume:
+            template = {"params": params, "batch_stats": batch_stats,
+                        "opt_state": opt_state}
+            restored = checkpointer.restore_tree(template)
+            if restored is not None:
+                payload, start_epoch = restored
+                # orbax restores committed to one device; re-replicate over
+                # the mesh so the jitted steps accept them
+                rep = jax.sharding.NamedSharding(mesh, P())
+                params, batch_stats, opt_state = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, rep),
+                    (payload["params"], payload["batch_stats"],
+                     payload["opt_state"]))
+                log.info("resumed edge-sharded training at epoch %d",
+                         start_epoch)
+
     make_fns = (make_ccn_sharded_step_fns if family == "ccn"
                 else make_sharded_step_fns)
+    shutdown = GracefulShutdown()
+    shutdown.__enter__()
     with jax.sharding.set_mesh(mesh):
         train_step, eval_step = make_fns(
             model, mesh, tx, kind=kind, mean=mean, std=std)
         history = []
         log.info("edge-sharded training: %d shards, %d epochs x %d steps",
                  n_shards, cfg.epochs, len(train_loader))
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             device_mets = []
             for stacked in train_loader:
@@ -350,4 +375,13 @@ def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
                       if k != "epoch_time_s"})
             if logger is not None:
                 logger.log_epoch(epoch + 1, **row)
+            if checkpointer is not None:
+                checkpointer.save_tree(
+                    {"params": params, "batch_stats": batch_stats,
+                     "opt_state": opt_state}, epoch + 1)
+            if shutdown.requested:
+                log.warning("stopping after epoch %d (signal); resume with "
+                            "cfg.resume", epoch + 1)
+                break
+    shutdown.__exit__()
     return {"params": params, "batch_stats": batch_stats}, history

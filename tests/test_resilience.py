@@ -105,6 +105,35 @@ def test_predict_cli_roundtrip(tmp_path, capsys):
     assert np.isfinite(z["predictions"]).all()
 
 
+def test_sharded_trainer_checkpoint_resume(tmp_path):
+    """The edge-sharded trainer checkpoints params/opt_state per epoch and
+    resumes from the latest epoch."""
+    from hgnn2_tpu.cli import common
+    from hgnn2_tpu.training.config import TrainConfig
+
+    def cfg_for(epochs, resume):
+        cfg = TrainConfig(batch_size=16, epochs=epochs, edge_shards=2,
+                          checkpoint_path=str(tmp_path / "ck"),
+                          log_path=str(tmp_path / f"log{epochs}"),
+                          resume=resume)
+        cfg.model.arch = "gnn"
+        cfg.model.n_layers = 2
+        cfg.model.n_features = 2
+        cfg.optim.optim = "sgd"
+        cfg.optim.lr = 1e-5
+        cfg.optim.momentum = 0.0
+        cfg.data.dataset = "qm9_synthetic"
+        cfg.data.n_synthetic = 32
+        return cfg
+
+    _, h1 = common.run_experiment(cfg_for(2, resume=False))
+    assert len(h1) == 2
+    # resume continues from epoch 3 — only 2 more epochs run
+    _, h2 = common.run_experiment(cfg_for(4, resume=True))
+    assert len(h2) == 2
+    assert np.isfinite(h2[-1]["train_loss"])
+
+
 def test_export_uses_training_stats_and_refuses_fallback(tmp_path):
     """Target stats persist next to the checkpoint at train time; export
     bakes THOSE into the bundle, and refuses to freeze stats recomputed
