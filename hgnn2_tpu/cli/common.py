@@ -79,6 +79,53 @@ def saved_target_stats(ckpt_path: str | None):
     return None
 
 
+def build_packed_model(cfg: TrainConfig, kind: str, bn_axis: str | None = None):
+    """Packed twin of build_model for gnn/lggnn (the --edge_shards trainer
+    and packed export/predict paths). bn_axis='edge' inside a shard_map;
+    None for single-device inference over the same parameters."""
+    from hgnn2_tpu.nn import packed as packed_mod
+
+    m = cfg.model
+    dim_output = 2 if kind == "classification" else m.dim_output
+    compat = CompatConfig.reference() if m.compat_reference else CompatConfig()
+    if m.arch == "lggnn":
+        return packed_mod.PackedLGGNN(
+            n_features=m.n_features, n_layers=m.n_layers,
+            dim_output=dim_output, J=m.J, order=m.order, compat=compat,
+            bn_axis=bn_axis)
+    if m.arch == "gnn":
+        return packed_mod.PackedGNN(
+            n_features=m.n_features, n_layers=m.n_layers,
+            dim_output=dim_output, J=m.J, compat=compat, bn_axis=bn_axis)
+    raise ValueError(f"no packed variant for arch {m.arch!r}")
+
+
+def restore_packed_checkpoint(ckpt_path: str, model, sample, optim_cfg):
+    """Restore an edge-sharded training checkpoint
+    (params/batch_stats/opt_state payload, training/sharded.py) for
+    inference/export. Returns (variables, epoch)."""
+    import jax
+
+    from hgnn2_tpu.training import checkpoint as ckpt_lib
+    from hgnn2_tpu.training.optim import build_optimizer
+
+    variables = model.init(jax.random.key(0), sample, train=True)
+    params = variables["params"]
+    template = {
+        "params": params,
+        "batch_stats": variables.get("batch_stats", {}),
+        "opt_state": build_optimizer(optim_cfg, 1).init(params),
+    }
+    restored = ckpt_lib.Checkpointer(ckpt_path).restore_tree(template)
+    if restored is None:
+        return None
+    payload, epoch = restored
+    out = {"params": payload["params"]}
+    if payload["batch_stats"]:
+        out["batch_stats"] = payload["batch_stats"]
+    return out, epoch
+
+
 def build_model(cfg: TrainConfig, kind: str):
     m = cfg.model
     dim_output = 2 if kind == "classification" else m.dim_output
@@ -153,26 +200,14 @@ def run_experiment(cfg: TrainConfig):
             raise ValueError("--dp and --edge_shards are mutually exclusive")
         from hgnn2_tpu.training import sharded as sharded_lib
 
-        m = cfg.model
-        dim_output = 2 if kind == "classification" else m.dim_output
         if is_ccn:
             # CCN's parallel axis is the flattened vertex set: molecules
             # packed whole per shard, no per-layer collective
             pmodel = build_model(cfg, kind)
             family = "ccn"
         else:
-            from hgnn2_tpu.nn import packed as packed_mod
-
+            pmodel = build_packed_model(cfg, kind, bn_axis="edge")
             family = "packed"
-            if m.arch == "lggnn":
-                pmodel = packed_mod.PackedLGGNN(
-                    n_features=m.n_features, n_layers=m.n_layers,
-                    dim_output=dim_output, J=m.J, order=m.order,
-                    bn_axis="edge")
-            else:
-                pmodel = packed_mod.PackedGNN(
-                    n_features=m.n_features, n_layers=m.n_layers,
-                    dim_output=dim_output, J=m.J, bn_axis="edge")
         cfg2 = dataclasses.replace(cfg, edge_shards=n_es)
         variables, history = sharded_lib.fit_sharded(
             pmodel, cfg2,

@@ -38,6 +38,14 @@ def main(argv=None):
     p.add_argument("--n_max", type=int, default=32, help="serving bucket: nodes")
     p.add_argument("--m_max", type=int, default=None,
                    help="serving bucket: directed edges (lggnn)")
+    p.add_argument("--packed", action="store_true",
+                   help="checkpoint came from the edge-sharded trainer "
+                        "(--edge_shards): restore the packed gnn/lggnn "
+                        "model and export a 'packed' bundle")
+    p.add_argument("--node_cap", type=int, default=None,
+                   help="packed serving bucket: node capacity")
+    p.add_argument("--edge_cap", type=int, default=None,
+                   help="packed serving bucket: directed-edge capacity")
     p.add_argument("--platforms", default="tpu,cpu")
     p.add_argument("--data_path", default=None)
     p.add_argument("--n_synthetic", type=int, default=64)
@@ -89,41 +97,63 @@ def main(argv=None):
                     "served prediction incorrectly. Pass --stats or "
                     "--data_path."
                 )
-    model = common.build_model(cfg, kind)
     is_ccn = args.arch.startswith("ccn")
     task = args.task if kind == "regression" else None
-    if is_ccn:
-        sample = next(iter(batching.CCNLoader(records, args.bs, task=task)))
-    else:
-        with_lg = args.arch == "lggnn"
-        m_max = args.m_max
-        if with_lg and m_max is None:
-            m_max = max(r.n_dir_edges for r in records)
-        sample = graphs.make_dense_batch(
-            records[: args.bs], n_max=args.n_max, m_max=m_max,
-            batch_size=args.bs, with_line_graph=with_lg, task=task,
+    if args.packed:
+        # edge-sharded training checkpoints hold packed-model params
+        model = common.build_packed_model(cfg, kind)
+        node_cap = args.node_cap or sum(
+            r.n_nodes for r in records[: args.bs]) + 8
+        edge_cap = args.edge_cap or sum(
+            r.n_dir_edges for r in records[: args.bs]) + 8
+        sample = graphs.make_packed_batch(
+            records[: args.bs], node_capacity=node_cap,
+            edge_capacity=edge_cap, batch_size=args.bs, task=task,
         )
+        restored = common.restore_packed_checkpoint(
+            args.ckpt, model, sample, cfg.optim)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found under {args.ckpt}")
+        variables, epoch = restored
+    else:
+        model = common.build_model(cfg, kind)
+        if is_ccn:
+            sample = next(iter(batching.CCNLoader(records, args.bs, task=task)))
+        else:
+            with_lg = args.arch == "lggnn"
+            m_max = args.m_max
+            if with_lg and m_max is None:
+                m_max = max(r.n_dir_edges for r in records)
+            sample = graphs.make_dense_batch(
+                records[: args.bs], n_max=args.n_max, m_max=m_max,
+                batch_size=args.bs, with_line_graph=with_lg, task=task,
+            )
 
-    tx = build_optimizer(cfg.optim, steps_per_epoch=1)
-    state = train_lib.TrainState.create(model, sample, tx, jax.random.key(0))
-    restored = ckpt_lib.Checkpointer(args.ckpt).restore(state)
-    if restored is None:
-        raise SystemExit(f"no checkpoint found under {args.ckpt}")
-    state, epoch = restored
+        tx = build_optimizer(cfg.optim, steps_per_epoch=1)
+        state = train_lib.TrainState.create(model, sample, tx,
+                                            jax.random.key(0))
+        restored = ckpt_lib.Checkpointer(args.ckpt).restore(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found under {args.ckpt}")
+        state, epoch = restored
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
     log.info("restored checkpoint at epoch %d", epoch)
-
-    variables = {"params": state.params}
-    if state.batch_stats:
-        variables["batch_stats"] = state.batch_stats
     platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
     exported = serving.export_model(model, variables, sample, platforms=platforms)
 
     mean = float(tstats.mean[args.task]) if tstats is not None else 0.0
     std = float(tstats.std[args.task]) if tstats is not None else 1.0
+    extra = {"arch": args.arch, "epoch": int(epoch)}
+    if is_ccn:
+        # predict() must rebuild chi tables exactly as the exported
+        # program's batches were built (CCNLoader default: A + I)
+        extra["add_self_loops"] = True
+    kind_out = "ccn" if is_ccn else ("packed" if args.packed else "dense")
     serving.save_bundle(
-        args.out, exported, kind="ccn" if is_ccn else "dense",
-        task=task, mean=mean, std=std,
-        extra={"arch": args.arch, "epoch": int(epoch)},
+        args.out, exported, kind=kind_out,
+        task=task, mean=mean, std=std, extra=extra,
     )
     spec = serving.load_bundle(args.out).input_spec
     log.info("exported %s -> %s (platforms %s, bucket %s)",

@@ -36,6 +36,9 @@ def main(argv=None):
     p.add_argument("--optim", default="adamax",
                    help="optimizer the checkpoint was trained with (its "
                         "opt_state structure must match for restore)")
+    p.add_argument("--packed", action="store_true",
+                   help="checkpoint came from the edge-sharded trainer "
+                        "(--edge_shards): restore the packed gnn/lggnn model")
     p.add_argument("--data_path", default=None)
     p.add_argument("--n_synthetic", type=int, default=256)
     p.add_argument("--out", default="predictions.npz")
@@ -61,36 +64,62 @@ def main(argv=None):
     if saved is not None:
         tstats = saved
         log.info("target stats from %s/%s", args.ckpt, common.TARGET_STATS_FILE)
-    model = common.build_model(cfg, kind)
     is_ccn = args.arch.startswith("ccn")
     task = args.task if kind == "regression" else None
-    if is_ccn:
-        loader = batching.CCNLoader(records, args.bs, task=task)
-    else:
-        loader = batching.DenseLoader(
-            records, args.bs, task=task, with_line_graph=args.arch == "lggnn"
-        )
+    if args.packed:
+        # checkpoint from the edge-sharded trainer: packed-model params
+        from hgnn2_tpu import graphs
 
-    tx = build_optimizer(cfg.optim, steps_per_epoch=1)
-    sample = next(iter(loader))
-    state = train_lib.TrainState.create(model, sample, tx, jax.random.key(0))
-    restored = ckpt_lib.Checkpointer(args.ckpt).restore(state)
-    if restored is None:
-        raise SystemExit(f"no checkpoint found under {args.ckpt}")
-    state, epoch = restored
+        model = common.build_packed_model(cfg, kind)
+        chunks = [records[s : s + args.bs]
+                  for s in range(0, len(records), args.bs)]
+        ncap = max(sum(r.n_nodes for r in c) for c in chunks) + 8
+        ecap = max(sum(r.n_dir_edges for r in c) for c in chunks) + 8
+        loader = [graphs.make_packed_batch(
+            c, node_capacity=ncap, edge_capacity=ecap,
+            batch_size=args.bs, task=task) for c in chunks]
+        restored = common.restore_packed_checkpoint(
+            args.ckpt, model, loader[0], cfg.optim)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found under {args.ckpt}")
+        variables, epoch = restored
+
+        @jax.jit
+        def forward(batch):
+            return model.apply(variables, batch, train=False)
+    else:
+        model = common.build_model(cfg, kind)
+        if is_ccn:
+            loader = batching.CCNLoader(records, args.bs, task=task)
+        else:
+            loader = batching.DenseLoader(
+                records, args.bs, task=task,
+                with_line_graph=args.arch == "lggnn",
+            )
+
+        tx = build_optimizer(cfg.optim, steps_per_epoch=1)
+        sample = next(iter(loader))
+        state = train_lib.TrainState.create(model, sample, tx,
+                                            jax.random.key(0))
+        restored = ckpt_lib.Checkpointer(args.ckpt).restore(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found under {args.ckpt}")
+        state, epoch = restored
+
+        @jax.jit
+        def forward(batch):
+            out, _ = train_lib._forward(state, state.params, batch,
+                                        train=False)
+            return out
+
     log.info("restored checkpoint at epoch %d", epoch)
 
     mean = float(tstats.mean[args.task]) if tstats is not None else 0.0
     std = float(tstats.std[args.task]) if tstats is not None else 1.0
 
-    @jax.jit
-    def forward(state, batch):
-        out, _ = train_lib._forward(state, state.params, batch, train=False)
-        return out
-
     preds, targets = [], []
     for batch in loader:
-        out = np.asarray(forward(state, batch))
+        out = np.asarray(forward(batch))
         gmask = np.asarray(train_lib._graph_mask(batch)) > 0
         if kind == "regression":
             preds.append(out[gmask, 0] * std + mean)

@@ -39,13 +39,17 @@ def make_ccn_shards(
     vertex_capacity: int,
     graphs_per_shard: int,
     task: int | None = None,
+    parts=None,
 ) -> ccn_mod.CCNBatch:
     """Partition molecules into n_shards balanced shards and stack their
     CCNBatches along a new leading axis (to be sharded over 'edge')."""
-    parts = spmd.partition_records(records, n_shards)
-    feature_dim = records[0].x.shape[1] if records else None
-    y0 = np.asarray(records[0].y if task is None else records[0].y[task])
-    y_dtype = y0.dtype if np.issubdtype(y0.dtype, np.integer) else np.float32
+    if parts is None:
+        parts = spmd.partition_records(records, n_shards)
+    feature_dim = y_dtype = None
+    if records:
+        feature_dim = records[0].x.shape[1]
+        y0 = np.asarray(records[0].y if task is None else records[0].y[task])
+        y_dtype = y0.dtype if np.issubdtype(y0.dtype, np.integer) else np.float32
     batches = []
     for part in parts:
         if len(part) > graphs_per_shard:

@@ -339,6 +339,12 @@ class HaloLocalOps:
         self.J = J
         self.axis = axis
         self.comm_log = comm_log
+        # identity-memoized exchanges: pm+pd (and pm_t+pd_t) read the SAME
+        # input per layer — one all_gather serves both, and comm_log then
+        # counts exactly what the compiled program sends. The cache holds a
+        # strong ref to the key array so ids cannot be recycled; the ops
+        # object lives for a single trace, bounding the cache's lifetime.
+        self._ext_cache: dict = {}
         vl = t["x"].shape[0]
         self.vl = vl
         self.deg = jax.ops.segment_sum(t["w"], t["src_local"], num_segments=vl)
@@ -349,21 +355,38 @@ class HaloLocalOps:
         if self.comm_log is not None:
             self.comm_log[kind].append(int(width))
 
+    def _cached(self, kind: str, x, compute):
+        key = (kind, id(x))
+        hit = self._ext_cache.get(key)
+        if hit is not None and hit[0] is x:
+            return hit[1]
+        out = compute()
+        self._ext_cache[key] = (x, out)
+        return out
+
     def _node_ext(self, x):
         """[x_local | halo rows imported from other shards]: (Vl+Hi, F)."""
-        self._log("node_halo", x.shape[-1])
-        exports = x[self.t["nexport_idx"]]
-        gathered = jax.lax.all_gather(exports, self.axis)
-        halo = gathered.reshape(-1, x.shape[-1])[self.t["nimport_flat"]]
-        return jnp.concatenate([x, halo], axis=0)
+
+        def compute():
+            self._log("node_halo", x.shape[-1])
+            exports = x[self.t["nexport_idx"]]
+            gathered = jax.lax.all_gather(exports, self.axis)
+            halo = gathered.reshape(-1, x.shape[-1])[self.t["nimport_flat"]]
+            return jnp.concatenate([x, halo], axis=0)
+
+        return self._cached("node", x, compute)
 
     def _edge_ext(self, xl):
         """[xl_local | reverse-edge halo]: (El+Gi, F)."""
-        self._log("edge_halo", xl.shape[-1])
-        exports = xl[self.t["eexport_idx"]]
-        gathered = jax.lax.all_gather(exports, self.axis)
-        halo = gathered.reshape(-1, xl.shape[-1])[self.t["eimport_flat"]]
-        return jnp.concatenate([xl, halo], axis=0)
+
+        def compute():
+            self._log("edge_halo", xl.shape[-1])
+            exports = xl[self.t["eexport_idx"]]
+            gathered = jax.lax.all_gather(exports, self.axis)
+            halo = gathered.reshape(-1, xl.shape[-1])[self.t["eimport_flat"]]
+            return jnp.concatenate([xl, halo], axis=0)
+
+        return self._cached("edge", xl, compute)
 
     def _spmm(self, x):
         xx = self._node_ext(x)

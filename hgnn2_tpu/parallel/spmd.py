@@ -319,20 +319,25 @@ def make_packed_shards(
     edge_capacity: int,
     graphs_per_shard: int,
     task: int | None = None,
+    parts=None,
 ):
     """Partition molecules into n_shards edge-balanced shards and stack
     their PackedGraphBatches along a new leading axis (sharded over
     'edge'). Molecules never split, so every operator apply inside a shard
     is fully local; only BatchNorm statistics (two (F,) psums per BN) and
-    the loss reduction cross shards."""
+    the loss reduction cross shards. parts: precomputed partition_records
+    output (callers that already partitioned for capacity scans)."""
     from hgnn2_tpu import graphs as graphs_lib
 
-    parts = partition_records(records, n_shards)
+    if parts is None:
+        parts = partition_records(records, n_shards)
     # empty shards (fewer graphs than shards) still need shape/dtype-
     # matched all-padding blocks
-    feature_dim = records[0].x.shape[1] if records else None
-    y0 = np.asarray(records[0].y if task is None else records[0].y[task])
-    y_dtype = y0.dtype if np.issubdtype(y0.dtype, np.integer) else np.float32
+    feature_dim = y_dtype = None
+    if records:
+        feature_dim = records[0].x.shape[1]
+        y0 = np.asarray(records[0].y if task is None else records[0].y[task])
+        y_dtype = y0.dtype if np.issubdtype(y0.dtype, np.integer) else np.float32
     batches = []
     for part in parts:
         if len(part) > graphs_per_shard:

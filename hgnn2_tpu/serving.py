@@ -123,7 +123,11 @@ def save_bundle(
     std: float = 1.0,
     extra: Mapping[str, Any] | None = None,
 ) -> None:
-    """Write a serving bundle directory. kind: 'dense' | 'packed' | 'ccn'."""
+    """Write a serving bundle directory. kind: 'dense' | 'packed' | 'ccn'.
+
+    For CCN bundles whose example batch was built with
+    add_self_loops=False, pass extra={"add_self_loops": False} so
+    predict() rebuilds chi tables the same way (default True)."""
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _ARTIFACT), "wb") as f:
         f.write(exported.serialize())

@@ -38,10 +38,12 @@ log = logging.getLogger("hgnn2_tpu")
 
 
 @dataclasses.dataclass
-class ShardedPackedLoader:
-    """Minibatches of molecule-aligned stacked shards, built once
+class _ShardedLoaderBase:
+    """Minibatches of graph-aligned stacked shards, built once
     (device-resident) with capacities static across the epoch so one
-    compiled step serves every batch; batch ORDER reshuffles per epoch."""
+    compiled step serves every batch; batch ORDER reshuffles per epoch.
+    Subclasses implement _build(chunks, parts) from the precomputed
+    per-chunk shard partitions."""
 
     records: Sequence
     batch_size: int
@@ -56,79 +58,84 @@ class ShardedPackedLoader:
         recs = list(self.records)
         chunks = [recs[s : s + self.batch_size]
                   for s in range(0, len(recs), self.batch_size)]
-        # static capacities: the worst per-shard load over all minibatches
         parts = [spmd.partition_records(c, self.n_shards) for c in chunks]
+        self._build(chunks, parts)
+
+    def __len__(self):
+        return len(self._batches)
+
+    def __iter__(self):
+        order = np.arange(len(self._batches))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+            self._epoch += 1
+        for i in order:
+            yield self._batches[i]
+
+
+class ShardedPackedLoader(_ShardedLoaderBase):
+    """Molecule-aligned packed shards for PackedGNN/PackedLGGNN."""
+
+    def _build(self, chunks, parts):
+        # static capacities: the worst per-shard load over all minibatches
         vcap = ecap = gcap = 1
         for part in parts:
             for shard in part:
                 vcap = max(vcap, sum(r.n_nodes for r in shard))
                 ecap = max(ecap, sum(r.n_dir_edges for r in shard))
                 gcap = max(gcap, len(shard))
-        for chunk in chunks:
+        for chunk, part in zip(chunks, parts):
             self._batches.append(spmd.make_packed_shards(
                 chunk, self.n_shards, node_capacity=vcap,
                 edge_capacity=ecap, graphs_per_shard=gcap, task=self.task,
+                parts=part,
             ))
         self.node_capacity, self.edge_capacity = vcap, ecap
         self.graphs_per_shard = gcap
 
-    def __len__(self):
-        return len(self._batches)
 
-    def __iter__(self):
-        order = np.arange(len(self._batches))
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self._epoch)
-            rng.shuffle(order)
-            self._epoch += 1
-        for i in order:
-            yield self._batches[i]
+class ShardedCCNLoader(_ShardedLoaderBase):
+    """Vertex-sharded stacked CCN batches (molecules whole per shard)."""
 
-
-@dataclasses.dataclass
-class ShardedCCNLoader:
-    """Minibatches of vertex-sharded stacked CCN batches (molecules whole
-    per shard), built once with epoch-static capacities."""
-
-    records: Sequence
-    batch_size: int
-    n_shards: int
-    task: int | None = None
-    shuffle: bool = False
-    seed: int = 0
-    _batches: list = dataclasses.field(default_factory=list)
-    _epoch: int = 0
-
-    def __post_init__(self):
+    def _build(self, chunks, parts):
         from hgnn2_tpu.parallel import ccn_parallel
 
-        recs = list(self.records)
-        k_max = max(r.max_degree() + 1 for r in recs)
-        chunks = [recs[s : s + self.batch_size]
-                  for s in range(0, len(recs), self.batch_size)]
-        parts = [spmd.partition_records(c, self.n_shards) for c in chunks]
+        k_max = max(r.max_degree() + 1 for r in self.records)
         vcap = gcap = 1
         for part in parts:
             for shard in part:
                 vcap = max(vcap, sum(r.n_nodes for r in shard))
                 gcap = max(gcap, len(shard))
-        for chunk in chunks:
+        for chunk, part in zip(chunks, parts):
             self._batches.append(ccn_parallel.make_ccn_shards(
                 chunk, self.n_shards, k_max=k_max, vertex_capacity=vcap,
-                graphs_per_shard=gcap, task=self.task,
+                graphs_per_shard=gcap, task=self.task, parts=part,
             ))
 
-    def __len__(self):
-        return len(self._batches)
 
-    def __iter__(self):
-        order = np.arange(len(self._batches))
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self._epoch)
-            rng.shuffle(order)
-            self._epoch += 1
-        for i in order:
-            yield self._batches[i]
+def _local_metric_sums(out, local, kind, mean, std):
+    """Per-shard masked (loss_sum, metric_sum) + count, psum'd globally
+    over 'edge'. Shared by the packed and CCN step builders."""
+    y, gmask = local.y, local.gmask
+    if kind == "classification":
+        per = optax.softmax_cross_entropy_with_integer_labels(out, y)
+        hit = (jnp.argmax(out, -1) == y).astype(jnp.float32)
+        num = jnp.stack([(per * gmask).sum(), (hit * gmask).sum()])
+    else:
+        t = (y - mean) / (std + 1e-8)
+        err = out[..., 0] - t
+        num = jnp.stack([((err**2) * gmask).sum(),
+                         (jnp.abs(err) * gmask).sum()])
+    den = gmask.sum()
+    num, den = jax.lax.psum((num, den), "edge")
+    return num, jnp.maximum(den, 1.0)
+
+
+def _metric_names(num, den, kind):
+    if kind == "classification":
+        return {"loss": num[0] / den, "accuracy": num[1] / den}
+    return {"loss": num[0] / den, "mae": num[1] / den}
 
 
 def make_sharded_step_fns(model, mesh: Mesh, tx, kind: str = "regression",
@@ -141,19 +148,7 @@ def make_sharded_step_fns(model, mesh: Mesh, tx, kind: str = "regression",
     """
 
     def local_metrics(out, local):
-        y, gmask = local.y, local.gmask
-        if kind == "classification":
-            per = optax.softmax_cross_entropy_with_integer_labels(out, y)
-            hit = (jnp.argmax(out, -1) == y).astype(jnp.float32)
-            num = jnp.stack([(per * gmask).sum(), (hit * gmask).sum()])
-        else:
-            t = (y - mean) / (std + 1e-8)
-            err = out[:, 0] - t
-            num = jnp.stack([((err**2) * gmask).sum(),
-                             (jnp.abs(err) * gmask).sum()])
-        den = gmask.sum()
-        num, den = jax.lax.psum((num, den), "edge")
-        return num, jnp.maximum(den, 1.0)
+        return _local_metric_sums(out, local, kind, mean, std)
 
     def local_train(variables, stacked):
         local = jax.tree_util.tree_map(lambda v: v[0], stacked)
@@ -177,9 +172,7 @@ def make_sharded_step_fns(model, mesh: Mesh, tx, kind: str = "regression",
                         out_specs=(P("edge"), P("edge")), check_rep=False)
 
     def names(num, den):
-        if kind == "classification":
-            return {"loss": num[0] / den, "accuracy": num[1] / den}
-        return {"loss": num[0] / den, "mae": num[1] / den}
+        return _metric_names(num, den, kind)
 
     @jax.jit
     def train_step(params, batch_stats, opt_state, stacked):
@@ -214,25 +207,10 @@ def make_ccn_sharded_step_fns(model, mesh: Mesh, tx,
     metric reductions cross shards). Signatures mirror
     make_sharded_step_fns (batch_stats is accepted and ignored)."""
 
-    def local_metrics(out, local):
-        y, gmask = local.y, local.gmask
-        if kind == "classification":
-            per = optax.softmax_cross_entropy_with_integer_labels(out, y)
-            hit = (jnp.argmax(out, -1) == y).astype(jnp.float32)
-            num = jnp.stack([(per * gmask).sum(), (hit * gmask).sum()])
-        else:
-            t = (y - mean) / (std + 1e-8)
-            err = out[..., 0] - t
-            num = jnp.stack([((err**2) * gmask).sum(),
-                             (jnp.abs(err) * gmask).sum()])
-        den = gmask.sum()
-        num, den = jax.lax.psum((num, den), "edge")
-        return num, jnp.maximum(den, 1.0)
-
     def local_fwd(variables, stacked, train):
         local = jax.tree_util.tree_map(lambda v: v[0], stacked)
         out = model.apply(variables, local, train=train)
-        num, den = local_metrics(out, local)
+        num, den = _local_metric_sums(out, local, kind, mean, std)
         loss = num[0] / den
         return loss[None], (num[None], den[None])
 
@@ -246,9 +224,7 @@ def make_ccn_sharded_step_fns(model, mesh: Mesh, tx,
         check_rep=False)
 
     def names(num, den):
-        if kind == "classification":
-            return {"loss": num[0] / den, "accuracy": num[1] / den}
-        return {"loss": num[0] / den, "mae": num[1] / den}
+        return _metric_names(num, den, kind)
 
     @jax.jit
     def train_step(params, batch_stats, opt_state, stacked):
@@ -284,6 +260,11 @@ def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
     Returns (variables, history) — same history schema as train.fit.
     """
     n_shards = cfg.edge_shards
+    if n_shards > len(jax.devices()):
+        raise ValueError(
+            f"edge_shards={n_shards} exceeds the {len(jax.devices())} "
+            "available devices"
+        )
     mesh = Mesh(np.array(jax.devices()[:n_shards]).reshape(1, n_shards),
                 ("data", "edge"))
     task = cfg.data.task if kind == "regression" else None
@@ -333,9 +314,7 @@ def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
 
     make_fns = (make_ccn_sharded_step_fns if family == "ccn"
                 else make_sharded_step_fns)
-    shutdown = GracefulShutdown()
-    shutdown.__enter__()
-    with jax.sharding.set_mesh(mesh):
+    with GracefulShutdown() as shutdown, jax.sharding.set_mesh(mesh):
         train_step, eval_step = make_fns(
             model, mesh, tx, kind=kind, mean=mean, std=std)
         history = []
@@ -383,5 +362,4 @@ def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
                 log.warning("stopping after epoch %d (signal); resume with "
                             "cfg.resume", epoch + 1)
                 break
-    shutdown.__exit__()
     return {"params": params, "batch_stats": batch_stats}, history

@@ -248,38 +248,38 @@ def fit(
     run_err = metrics_lib.RunningAverage()
     run_loss = metrics_lib.RunningAverage()
     history = []
-    shutdown = GracefulShutdown()
-    shutdown.__enter__()
-    for epoch in range(start_epoch, cfg.epochs):
-        t0 = time.time()
-        if cfg.optim.reset_each_epoch:
-            state = state.replace(opt_state=state.tx.init(state.params))
-        state, train_m = run_epoch(state, train_loader, train_step)
-        run_loss.update(train_m.get("loss", 0.0))
-        if "mae" in train_m:
-            run_err.update(train_m["mae"])
-        row = {f"train_{k}": v for k, v in train_m.items()}
-        if (epoch + 1) % cfg.eval_every == 0:
-            for split in ("valid", "test"):
-                loader = eval_loaders[split]
-                if loader is not None and len(loader) > 0:
-                    for k, v in evaluate(state, loader, eval_step).items():
-                        row[f"{split}_{k}"] = v
-                        if k == "mae" and accuracy:
-                            row[f"{split}_error_ratio"] = v / accuracy
-        row["epoch_time_s"] = time.time() - t0
-        log.info("epoch %d done in %.1fs: %s", epoch + 1, row["epoch_time_s"],
-                 {k: round(v, 4) for k, v in row.items() if k != "epoch_time_s"})
-        if accuracy and "mae" in train_m:
-            row["train_error_ratio"] = run_err.val / accuracy
-        history.append(row)
-        if logger is not None:
-            logger.log_epoch(epoch + 1, **row)
-        if checkpointer is not None:
-            checkpointer.save(state, epoch + 1)
-        if shutdown.requested:
-            log.warning("stopping after epoch %d (signal); resume with "
-                        "cfg.resume", epoch + 1)
-            break
-    shutdown.__exit__()
+    with GracefulShutdown() as shutdown:
+        for epoch in range(start_epoch, cfg.epochs):
+            t0 = time.time()
+            if cfg.optim.reset_each_epoch:
+                state = state.replace(opt_state=state.tx.init(state.params))
+            state, train_m = run_epoch(state, train_loader, train_step)
+            run_loss.update(train_m.get("loss", 0.0))
+            if "mae" in train_m:
+                run_err.update(train_m["mae"])
+            row = {f"train_{k}": v for k, v in train_m.items()}
+            if (epoch + 1) % cfg.eval_every == 0:
+                for split in ("valid", "test"):
+                    loader = eval_loaders[split]
+                    if loader is not None and len(loader) > 0:
+                        for k, v in evaluate(state, loader, eval_step).items():
+                            row[f"{split}_{k}"] = v
+                            if k == "mae" and accuracy:
+                                row[f"{split}_error_ratio"] = v / accuracy
+            row["epoch_time_s"] = time.time() - t0
+            log.info("epoch %d done in %.1fs: %s", epoch + 1,
+                     row["epoch_time_s"],
+                     {k: round(v, 4) for k, v in row.items()
+                      if k != "epoch_time_s"})
+            if accuracy and "mae" in train_m:
+                row["train_error_ratio"] = run_err.val / accuracy
+            history.append(row)
+            if logger is not None:
+                logger.log_epoch(epoch + 1, **row)
+            if checkpointer is not None:
+                checkpointer.save(state, epoch + 1)
+            if shutdown.requested:
+                log.warning("stopping after epoch %d (signal); resume with "
+                            "cfg.resume", epoch + 1)
+                break
     return state, history

@@ -134,6 +134,49 @@ def test_sharded_trainer_checkpoint_resume(tmp_path):
     assert np.isfinite(h2[-1]["train_loss"])
 
 
+def test_sharded_checkpoint_export_predict_roundtrip(tmp_path):
+    """Checkpoints from the edge-sharded trainer flow through the shipped
+    export (--packed -> 'packed' serving bundle) and predict CLIs."""
+    from hgnn2_tpu import serving
+    from hgnn2_tpu.cli import common
+    from hgnn2_tpu.cli import export as export_cli
+    from hgnn2_tpu.cli import predict as predict_cli
+    from hgnn2_tpu.training.config import TrainConfig
+
+    cache = str(tmp_path / "data.npz")
+    records = qm9.synthetic_qm9_like(32, seed=3)
+    qm9.save_cache(records, cache)
+
+    ck = str(tmp_path / "ck")
+    cfg = TrainConfig(batch_size=16, epochs=1, edge_shards=2,
+                      checkpoint_path=ck, log_path=str(tmp_path / "log"))
+    cfg.model.arch = "gnn"
+    cfg.model.n_layers = 2
+    cfg.model.n_features = 2
+    cfg.data.data_path = cache
+    common.run_experiment(cfg)
+
+    bundle = str(tmp_path / "bundle")
+    export_cli.main([
+        "--ckpt", ck, "--arch", "gnn", "--L", "2", "--h", "2", "--packed",
+        "--bs", "8", "--platforms", "cpu", "--data_path", cache,
+        "--out", bundle,
+    ])
+    sm = serving.load_bundle(bundle)
+    assert sm.kind == "packed"
+    preds = sm.predict(records[:10])
+    assert preds.shape == (10,) and np.isfinite(preds).all()
+
+    out = str(tmp_path / "preds.npz")
+    predict_cli.main([
+        "--ckpt", ck, "--arch", "gnn", "--L", "2", "--h", "2", "--packed",
+        "--data_path", cache, "--out", out, "--bs", "16",
+    ])
+    z = np.load(out)
+    assert z["predictions"].shape == (32,)
+    assert np.isfinite(z["predictions"]).all()
+
+
 def test_export_uses_training_stats_and_refuses_fallback(tmp_path):
     """Target stats persist next to the checkpoint at train time; export
     bakes THOSE into the bundle, and refuses to freeze stats recomputed
