@@ -45,9 +45,24 @@ def run_arch(arch):
     return rows, worst
 
 
+def run_ccn():
+    ref, ours = tc.run_both_ccn(h=4, L=2, lr=1e-3, epochs=10, n_mol=96)
+    rows = []
+    for e, (a, b) in enumerate(zip(ref["history"], ours["history"])):
+        rel = {k: abs(b[k] - a[k]) / max(abs(a[k]), 1e-8) for k in a}
+        rows.append({"epoch": e + 1, "reference": a, "ours": b,
+                     "rel_delta": rel})
+        print(f"ccn epoch {e+1:2d}: ref loss {a['train_loss_ema']:.5f} "
+              f"ours {b['train_loss_ema']:.5f} "
+              f"(rel {rel['train_loss_ema']:.2e})", flush=True)
+    worst = max(max(r["rel_delta"].values()) for r in rows)
+    return rows, worst
+
+
 def main():
     rows, worst = run_arch("gnn")
     lg_rows, lg_worst = run_arch("lggnn")
+    ccn_rows, ccn_worst = run_ccn()
 
     os.makedirs(OUT_DIR, exist_ok=True)
     with open(os.path.join(OUT_DIR, "trajectory.json"), "w") as f:
@@ -61,12 +76,17 @@ def main():
                        "MaterializedBundle (bug-compatible)"},
             "worst_rel_delta": worst,
             "lggnn_worst_rel_delta": lg_worst,
+            "ccn_worst_rel_delta": ccn_worst,
+            "ccn_config": {"h": 4, "L": 2, "lr": 1e-3, "epochs": 10,
+                           "n_mol": 96, "loop": "per-molecule bs=1, the "
+                           "reference's own train_ccn/test_ccn"},
             "epochs": rows,
             "lggnn_epochs": lg_rows,
+            "ccn_epochs": ccn_rows,
         }, f, indent=2)
         f.write("\n")
     print(f"GNN worst relative delta over {EPOCHS} epochs x 4 metrics: "
-          f"{worst:.3e}; LGGNN: {lg_worst:.3e}")
+          f"{worst:.3e}; LGGNN: {lg_worst:.3e}; CCN-1D: {ccn_worst:.3e}")
 
     section = "\n".join([
         MARK_BEGIN,
@@ -86,7 +106,9 @@ def main():
         f"(train loss/MAE EMA, val loss/MAE): **{worst:.2e}** for the "
         f"power GNN; **{lg_worst:.2e}** for the line-graph GNN (order 2, "
         f"run over the reference's own operator tensors, edge-indexing "
-        f"bug included).",
+        f"bug included); **{ccn_worst:.2e}** for CCN-1D over 10 epochs of "
+        f"the reference's own per-molecule train_ccn/test_ccn loops "
+        f"(Adamax re-created per epoch, bs=1 steps in identical order).",
         "",
         "| epoch | ref train loss | ours | ref val MAE | ours |",
         "|---|---|---|---|---|",

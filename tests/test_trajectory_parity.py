@@ -41,3 +41,22 @@ def test_trajectory_matches_reference(reference_path, fixture_path, arch):
     assert ref["history"][-1]["train_loss_ema"] < (
         0.7 * ref["history"][0]["train_loss_ema"]
     )
+
+
+def test_ccn_trajectory_matches_reference(reference_ccn_utils, fixture_path):
+    """CCN-1D trained through the reference's OWN per-molecule loops
+    (scripts/train_ccn.py / test_ccn.py, Adamax re-created per epoch) vs
+    this framework stepping per molecule in the same order from identical
+    initial weights."""
+    ref, ours = tc.run_both_ccn(h=4, L=2, lr=1e-3, epochs=3, n_mol=48)
+    assert len(ref["history"]) == len(ours["history"]) == 3
+    for e, (a, b) in enumerate(zip(ref["history"], ours["history"])):
+        for k in ("train_loss_ema", "train_mae_ema", "val_loss", "val_mae"):
+            rel = abs(b[k] - a[k]) / max(abs(a[k]), 1e-8)
+            assert rel < 1e-2, (
+                f"ccn epoch {e} {k}: reference {a[k]:.6f} vs ours "
+                f"{b[k]:.6f} (rel {rel:.2e})"
+            )
+    assert ref["history"][-1]["train_loss_ema"] < (
+        0.9 * ref["history"][0]["train_loss_ema"]
+    )

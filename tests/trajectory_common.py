@@ -299,6 +299,172 @@ def run_ours(torch_init, recs_tr, recs_va, *, h, L, J, bs, lr, epochs,
     return {"mean": mean, "std": std, "history": hist}
 
 
+# ---------------------------------------------------------------------------
+# CCN trajectory parity (reference scripts/train_ccn.py:24 / test_ccn.py:23
+# — per-molecule optimizer steps, bs=1, Adamax re-created every epoch).
+# ---------------------------------------------------------------------------
+
+
+def _patch_ccn_utils():
+    """Modern-torch shim for the reference's _get_chi emptiness check (its
+    nonzero().shape test predates torch's 2-D nonzero result) — same math,
+    mirrors tests/conftest.reference_ccn_utils for non-pytest callers."""
+    import torch
+    from functions.utils_ccn import CompnetUtils
+
+    def _get_chi(self, i, j):
+        di = self.deg[i].item()
+        dj = self.deg[j].item()
+        chi = torch.zeros(di, dj)
+        for k in range(di):
+            ind_i = self.neighbors[i][k].item()
+            ind_j = (self.neighbors[j] == ind_i).nonzero()
+            if ind_j.numel() > 0:
+                chi[k, ind_j.item()] = 1
+        return chi
+
+    CompnetUtils._get_chi = _get_chi
+
+
+def build_reference_ccn(h, L, dim_input=5, seed=0):
+    _ref_paths()
+    import torch
+    from models.compnets.model_ccn import CCN_1D
+
+    _patch_ccn_utils()
+    torch.manual_seed(seed)
+    net = CCN_1D(input_feats=dim_input, n_outputs=1, hidden_size=h, layers=L)
+    return net, copy.deepcopy(net)
+
+
+def _to_ccn_data(recs):
+    import torch
+
+    z = torch.zeros(1)
+    return [[torch.from_numpy(np.ascontiguousarray(r.x)),
+             torch.from_numpy(np.ascontiguousarray(r.adj)),
+             torch.from_numpy(np.ascontiguousarray(r.y.astype(np.float32))),
+             z, z, z, z] for r in recs]
+
+
+def run_reference_ccn(net, recs_tr, recs_va, *, lr, epochs, epoch_step=5,
+                      damping=0.9, task=0):
+    _ref_paths()
+    import torch.nn as nn
+    from torch import optim
+    import train_ccn as train_ccn_mod
+    import test_ccn as test_ccn_mod
+
+    tr = _to_ccn_data(recs_tr)
+    va = _to_ccn_data(recs_va)
+    mean, std = target_stats(recs_tr, task)
+    criterion = nn.MSELoss()
+    hist = []
+    cur_lr = lr
+    for epoch in range(epochs):
+        if epoch != 0 and epoch % epoch_step == 0:
+            cur_lr *= damping
+        optimizer = optim.Adamax(net.parameters(), lr=cur_lr)
+        tr_loss, tr_err = train_ccn_mod.train_ccn(
+            net, tr, task, criterion, optimizer, False, mean, std)
+        va_loss, va_err, _ = test_ccn_mod.test_ccn(
+            net, va, task, criterion, False, mean, std, None)
+        hist.append({"train_loss_ema": float(tr_loss),
+                     "train_mae_ema": float(tr_err),
+                     "val_loss": float(va_loss), "val_mae": float(va_err)})
+    return {"mean": mean, "std": std, "history": hist}
+
+
+def run_ours_ccn(torch_init, recs_tr, recs_va, *, h, L, lr, epochs,
+                 epoch_step=5, damping=0.9, task=0):
+    """Per-molecule (bs=1) steps in the reference's order, weights copied
+    from the torch init snapshot, same per-epoch Adamax re-creation."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hgnn2_tpu.nn import ccn as ccn_mod
+    from tests.test_ccn import _copy_ccn_params
+
+    mean, std = target_stats(recs_tr, task)
+    model = ccn_mod.CCN1D(hidden=h, n_layers=L, dim_output=1)
+    all_recs = list(recs_tr) + list(recs_va)
+    k_max = max(r.max_degree() + 1 for r in all_recs)
+    vcap = max(r.n_nodes for r in all_recs)
+
+    def batch(r):
+        return ccn_mod.make_ccn_batch(
+            [r], k_max=k_max, vertex_capacity=vcap, add_self_loops=True,
+            task=task)
+
+    tr_batches = [batch(r) for r in recs_tr]
+    va_batches = [batch(r) for r in recs_va]
+
+    variables = model.init(jax.random.key(0), tr_batches[0], train=True)
+    params = _copy_ccn_params(torch_init, variables["params"], L)
+    tx = optax.inject_hyperparams(optax.adamax)(learning_rate=lr)
+
+    def _err(out, cb):
+        t = (cb.y[0] - mean) / (std + 1e-8)
+        d = out[0, 0] - t
+        return d**2, jnp.abs(d)
+
+    @jax.jit
+    def train_step(params, opt_state, cb):
+        def loss_fn(p):
+            out = model.apply({"params": p}, cb, train=True)
+            loss, mae = _err(out, cb)
+            return loss, mae
+
+        (loss, mae), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, mae
+
+    @jax.jit
+    def eval_step(params, cb):
+        out = model.apply({"params": params}, cb, train=False)
+        return _err(out, cb)
+
+    def ema(prev, new):
+        return new if prev == 0.0 else 0.9 * new + 0.1 * prev
+
+    hist = []
+    cur_lr = lr
+    for epoch in range(epochs):
+        if epoch != 0 and epoch % epoch_step == 0:
+            cur_lr *= damping
+        opt_state = tx.init(params)  # fresh moments, like the reference
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            cur_lr, jnp.float32)
+        loss_ema = mae_ema = 0.0
+        for cb in tr_batches:
+            params, opt_state, loss, mae = train_step(params, opt_state, cb)
+            loss_ema = ema(loss_ema, float(loss))
+            mae_ema = ema(mae_ema, float(mae))
+        vl = vm = 0.0
+        for cb in va_batches:
+            loss, mae = eval_step(params, cb)
+            vl += float(loss)
+            vm += float(mae)
+        hist.append({"train_loss_ema": loss_ema, "train_mae_ema": mae_ema,
+                     "val_loss": vl / len(va_batches),
+                     "val_mae": vm / len(va_batches)})
+    return {"mean": mean, "std": std, "history": hist}
+
+
+def run_both_ccn(*, h=4, L=2, lr=1e-3, epochs=3, n_mol=48, task=0):
+    recs = load_fixture()[:n_mol]
+    n_train = int(0.8 * n_mol)
+    recs_tr, recs_va = recs[:n_train], recs[n_train:]
+    net, init_snapshot = build_reference_ccn(
+        h, L, dim_input=recs[0].x.shape[1])
+    ours = run_ours_ccn(init_snapshot, recs_tr, recs_va, h=h, L=L, lr=lr,
+                        epochs=epochs, task=task)
+    ref = run_reference_ccn(net, recs_tr, recs_va, lr=lr, epochs=epochs,
+                            task=task)
+    return ref, ours
+
+
 def run_both(*, h=2, L=3, J=1, bs=16, lr=1e-3, epochs=20, n_train=160,
              task=0, n_mol=None, arch="gnn", order=2):
     recs = load_fixture()
