@@ -79,6 +79,28 @@ def run_family(name, model, records, ts, bs, with_lg, epochs):
     log(f"{name}: epoch {epoch_s:.2f}s (all: {[round(t, 2) for t in times]}) "
         f"-> {n_mol / epoch_s:,.0f} molecules/s end-to-end, "
         f"loss={mets['loss']:.4f}")
+
+    # scanned epochs: whole bucket groups of steps per dispatch (the
+    # shipped default; per-step dispatch above is the --no_scan path)
+    import numpy as np
+
+    groups = train_lib.group_stacked_batches(loader._batches)
+    scan_fn = train_lib.make_scanned_epoch(
+        "regression", float(ts.mean[0]), float(ts.std[0]))
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    state, _ = train_lib.run_epoch_scanned(state, groups, scan_fn, rng)
+    scan_compile_s = time.time() - t0
+    stimes = []
+    for _ in range(epochs):
+        t0 = time.time()
+        state, smets = train_lib.run_epoch_scanned(state, groups, scan_fn, rng)
+        stimes.append(time.time() - t0)
+    scan_epoch_s = min(stimes)
+    log(f"{name}: SCANNED epoch {scan_epoch_s:.3f}s "
+        f"(all: {[round(t, 3) for t in stimes]}, compile {scan_compile_s:.1f}s, "
+        f"{len(groups)} groups) -> {n_mol / scan_epoch_s:,.0f} molecules/s, "
+        f"loss={smets['loss']:.4f}")
     return {
         "molecules": n_mol,
         "batch_size": bs,
@@ -87,6 +109,9 @@ def run_family(name, model, records, ts, bs, with_lg, epochs):
         "first_epoch_incl_compile_s": compile_epoch_s,
         "epoch_s": epoch_s,
         "molecules_per_s_end_to_end": n_mol / epoch_s,
+        "scanned_epoch_s": scan_epoch_s,
+        "scanned_molecules_per_s_end_to_end": n_mol / scan_epoch_s,
+        "scanned_bucket_groups": len(groups),
     }
 
 
@@ -112,6 +137,9 @@ def main():
     out["gnn_L15"]["vs_reference_epoch"] = (
         REF_GNN_EPOCH_S * (n / 107108.0) / out["gnn_L15"]["epoch_s"]
     )
+    out["gnn_L15"]["scanned_vs_reference_epoch"] = (
+        REF_GNN_EPOCH_S * (n / 107108.0) / out["gnn_L15"]["scanned_epoch_s"]
+    )
     out["lggnn_L5"] = run_family(
         "lggnn L5",
         models.GNNLineGraph(n_features=1, n_layers=5, J=1, order=2),
@@ -119,6 +147,9 @@ def main():
     )
     out["lggnn_L5"]["vs_reference_epoch"] = (
         REF_LGGNN_EPOCH_S * (n / 107108.0) / out["lggnn_L5"]["epoch_s"]
+    )
+    out["lggnn_L5"]["scanned_vs_reference_epoch"] = (
+        REF_LGGNN_EPOCH_S * (n / 107108.0) / out["lggnn_L5"]["scanned_epoch_s"]
     )
 
     details = {}

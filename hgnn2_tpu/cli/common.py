@@ -327,6 +327,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--no_cache", action="store_true",
                    help="disable device-resident batch caching (re-pad "
                         "every epoch like the reference)")
+    p.add_argument("--no_scan", action="store_true",
+                   help="dispatch each optimizer step separately instead "
+                        "of scanning whole epochs in one program")
     return p
 
 
@@ -355,4 +358,5 @@ def config_from_args(args, arch: str, dataset: str) -> TrainConfig:
     cfg.dp = getattr(args, "dp", 1)
     cfg.edge_shards = getattr(args, "edge_shards", 1)
     cfg.data.cache_batches = not getattr(args, "no_cache", False)
+    cfg.scan_epochs = not getattr(args, "no_scan", False)
     return cfg

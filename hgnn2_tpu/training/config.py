@@ -68,6 +68,11 @@ class TrainConfig:
     # packed-model scaling mode with zero comm per operator apply
     # (training/sharded.py). Mutually exclusive with dp.
     edge_shards: int = 1
+    # run each epoch's optimizer steps inside one lax.scan per bucket group
+    # (a few dispatches per epoch instead of one per step — the win on
+    # remote-attached chips). Applies when batches are cached and no mesh
+    # is in play; order-level shuffling moves into the scan's permutation.
+    scan_epochs: bool = True
     log_path: str | None = None
     checkpoint_path: str | None = None
     resume: bool = False

@@ -21,6 +21,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import core, struct
 
@@ -94,30 +95,59 @@ def _loss_and_metrics(out, y, gmask, kind: str, mean: float, std: float):
     return loss, {"loss": loss, "mae": mae}
 
 
+def _train_body(state: TrainState, batch, kind: str, mean: float, std: float):
+    """One optimizer step: the shared body of make_train_step /
+    make_multi_train_step / make_scanned_epoch."""
+    gmask = _graph_mask(batch)
+
+    def loss_fn(params):
+        out, new_stats = _forward(state, params, batch, train=True)
+        loss, mets = _loss_and_metrics(out, batch.y, gmask, kind, mean, std)
+        return loss, (mets, new_stats)
+
+    grads, (mets, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_stats,
+        opt_state=new_opt,
+    )
+    return new_state, mets
+
+
 def make_train_step(kind: str = "regression", mean: float = 0.0, std: float = 1.0):
     """Returns a jitted train step (state, batch) -> (state, metrics)."""
 
     @jax.jit
     def step(state: TrainState, batch):
-        gmask = _graph_mask(batch)
-
-        def loss_fn(params):
-            out, new_stats = _forward(state, params, batch, train=True)
-            loss, mets = _loss_and_metrics(out, batch.y, gmask, kind, mean, std)
-            return loss, (mets, new_stats)
-
-        grads, (mets, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(
-            step=state.step + 1,
-            params=new_params,
-            batch_stats=new_stats,
-            opt_state=new_opt,
-        )
-        return new_state, mets
+        return _train_body(state, batch, kind, mean, std)
 
     return step
+
+
+def make_scanned_epoch(kind: str = "regression", mean: float = 0.0,
+                       std: float = 1.0):
+    """Returns run(state, stacked, order) -> (state, metric MEANS): a whole
+    same-shape batch group's optimizer steps inside ONE jitted lax.scan.
+
+    On a remote-attached chip, per-step dispatch latency dominates
+    sub-millisecond steps; scanning the epoch leaves only one dispatch per
+    bucket group per epoch. `stacked` is a pytree of batches stacked on a
+    new leading axis (device-resident, from CachedLoader); `order` is the
+    epoch's batch permutation, so shuffling costs one small transfer."""
+
+    @jax.jit
+    def run(state: TrainState, stacked, order):
+        def body(s, i):
+            batch = jax.tree_util.tree_map(lambda x: x[i], stacked)
+            return _train_body(s, batch, kind, mean, std)
+
+        state2, mets = jax.lax.scan(body, state, order)
+        return state2, jax.tree_util.tree_map(lambda m: m.mean(), mets)
+
+    return run
 
 
 def make_multi_train_step(
@@ -127,32 +157,10 @@ def make_multi_train_step(
     program via lax.scan (same batch each inner step). Used by benchmarks
     to amortize host dispatch latency, and useful on high-latency links."""
 
-    def body(state: TrainState, batch):
-        gmask = _graph_mask(batch)
-
-        def loss_fn(params):
-            out, new_stats = _forward(state, params, batch, train=True)
-            loss, mets = _loss_and_metrics(out, batch.y, gmask, kind, mean, std)
-            return loss, (mets, new_stats)
-
-        grads, (mets, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return (
-            state.replace(
-                step=state.step + 1,
-                params=new_params,
-                batch_stats=new_stats,
-                opt_state=new_opt,
-            ),
-            mets,
-        )
-
     @jax.jit
     def multi_step(state: TrainState, batch):
         def scan_body(s, _):
-            s, mets = body(s, batch)
-            return s, mets
+            return _train_body(s, batch, kind, mean, std)
 
         state, mets = jax.lax.scan(scan_body, state, None, length=n_inner)
         return state, jax.tree_util.tree_map(lambda m: m[-1], mets)
@@ -170,6 +178,39 @@ def make_eval_step(kind: str = "regression", mean: float = 0.0, std: float = 1.0
         return mets
 
     return step
+
+
+def group_stacked_batches(batches):
+    """Group same-shape batches (bucket groups) and stack each group on a
+    new leading axis, device-resident. First-appearance order preserved, so
+    with sorted bucketing the scanned sequence matches the loader's."""
+    groups: dict = {}
+    for b in batches:
+        key = tuple(
+            (tuple(leaf.shape), str(leaf.dtype))
+            for leaf in jax.tree_util.tree_leaves(b)
+        )
+        groups.setdefault(key, []).append(b)
+    return [
+        jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *g)
+        for g in groups.values()
+    ]
+
+
+def run_epoch_scanned(state, groups, scan_fn, rng=None):
+    """One training epoch as one compiled program per bucket group
+    (make_scanned_epoch): a handful of dispatches per epoch instead of one
+    per step. rng (numpy Generator) shuffles batch order within groups."""
+    sums: dict = {}
+    total = 0
+    for stacked in groups:
+        n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        order = np.arange(n) if rng is None else rng.permutation(n)
+        state, mets = scan_fn(state, stacked, jnp.asarray(order))
+        total += n
+        for k, v in mets.items():
+            sums[k] = sums.get(k, 0.0) + v * n
+    return state, {k: float(v) / max(total, 1) for k, v in sums.items()}
 
 
 def run_epoch(state, loader, step_fn, prefetch_size: int = 2):
@@ -244,6 +285,22 @@ def fit(
     train_step = make_train_step(kind, mean, std)
     eval_step = make_eval_step(kind, mean, std)
     log = logging.getLogger("hgnn2_tpu")
+
+    # scanned-epoch fast path: whole bucket groups of steps in one program
+    # (cached device-resident batches, single-device; a mesh keeps the
+    # per-step path so batch sharding stays visible to XLA per dispatch)
+    scan_groups = scan_fn = None
+    # order-level shuffling moves into the scan's permutation; honor the
+    # cached loader's shuffle setting (off -> deterministic batch order)
+    shuffle_rng = (np.random.default_rng(cfg.seed)
+                   if getattr(train_loader, "shuffle", True) else None)
+    if (getattr(cfg, "scan_epochs", False) and mesh is None
+            and hasattr(train_loader, "materialize")):
+        train_loader.materialize()
+        if train_loader._batches:
+            scan_groups = group_stacked_batches(train_loader._batches)
+            scan_fn = make_scanned_epoch(kind, mean, std)
+            log.info("scanned epochs: %d bucket group(s)", len(scan_groups))
     log.info("training: %d epochs x %d steps/epoch", cfg.epochs - start_epoch, steps_per_epoch)
     run_err = metrics_lib.RunningAverage()
     run_loss = metrics_lib.RunningAverage()
@@ -253,7 +310,11 @@ def fit(
             t0 = time.time()
             if cfg.optim.reset_each_epoch:
                 state = state.replace(opt_state=state.tx.init(state.params))
-            state, train_m = run_epoch(state, train_loader, train_step)
+            if scan_groups is not None:
+                state, train_m = run_epoch_scanned(
+                    state, scan_groups, scan_fn, shuffle_rng)
+            else:
+                state, train_m = run_epoch(state, train_loader, train_step)
             run_loss.update(train_m.get("loss", 0.0))
             if "mae" in train_m:
                 run_err.update(train_m["mae"])

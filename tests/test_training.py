@@ -111,6 +111,66 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_scanned_epoch_matches_stepwise():
+    """One lax.scan over stacked bucket groups computes exactly the same
+    epoch as per-step dispatch in the same order."""
+    recs = qm9.synthetic_qm9_like(64, seed=5)
+    loader = batching.CachedLoader(
+        batching.DenseLoader(recs, 16, task=0, sort=True, shuffle=False),
+        shuffle=False,
+    )
+    loader.materialize()
+    model = models.GNNSimple(n_features=2, n_layers=3, dim_output=1)
+    from hgnn2_tpu.training.optim import build_optimizer
+
+    tx = build_optimizer(OptimConfig(optim="sgd", lr=1e-4, momentum=0.0),
+                         steps_per_epoch=len(loader))
+    sample = next(iter(loader))
+    state0 = train_lib.TrainState.create(model, sample, tx, jax.random.key(0))
+
+    step = train_lib.make_train_step("regression", 1.0, 2.0)
+    s1, m1 = train_lib.run_epoch(state0, loader, step)
+
+    groups = train_lib.group_stacked_batches(loader._batches)
+    scan_fn = train_lib.make_scanned_epoch("regression", 1.0, 2.0)
+    s2, m2 = train_lib.run_epoch_scanned(state0, groups, scan_fn, rng=None)
+
+    np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-8)
+
+
+def test_fit_scanned_equals_stepwise_epochs():
+    """fit() with scan_epochs on and off produces matching trajectories
+    when shuffling is deterministic-off."""
+    recs = qm9.synthetic_qm9_like(64, seed=6)
+    tr, va, te = synthetic.split_80_10_10(recs)
+
+    def run(scan):
+        cfg = TrainConfig(batch_size=16, epochs=2, scan_epochs=scan)
+        cfg.optim = OptimConfig(optim="sgd", lr=1e-4, momentum=0.0)
+        model = models.GNNSimple(n_features=2, n_layers=2, dim_output=1)
+
+        def make(split):
+            base = batching.DenseLoader(
+                {"train": tr, "valid": va, "test": te}[split], 16, task=0,
+                shuffle=False)
+            return batching.CachedLoader(base, shuffle=False)
+
+        _, history = train_lib.fit(model, make, cfg, kind="regression",
+                                   mean=1.0, std=2.0)
+        return history
+
+    h_scan = run(True)
+    h_step = run(False)
+    for a, b in zip(h_scan, h_step):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(a["valid_mae"], b["valid_mae"], rtol=1e-5)
+
+
 def test_reset_each_epoch_runs():
     recs = qm9.synthetic_qm9_like(32, seed=3)
     tr, va, te = synthetic.split_80_10_10(recs)
