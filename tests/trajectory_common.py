@@ -350,10 +350,19 @@ def _to_ccn_data(recs):
 def run_reference_ccn(net, recs_tr, recs_va, *, lr, epochs, epoch_step=5,
                       damping=0.9, task=0):
     _ref_paths()
+    import importlib.util
+
     import torch.nn as nn
     from torch import optim
     import train_ccn as train_ccn_mod
-    import test_ccn as test_ccn_mod
+
+    # "import test_ccn" would collide with OUR tests/test_ccn.py (pytest
+    # imports it as a top-level module) — load the reference loop by path
+    spec = importlib.util.spec_from_file_location(
+        "hgnn2_ref_test_ccn",
+        os.path.join(REFERENCE_PATH, "scripts", "test_ccn.py"))
+    test_ccn_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(test_ccn_mod)
 
     tr = _to_ccn_data(recs_tr)
     va = _to_ccn_data(recs_va)
