@@ -213,6 +213,42 @@ def run_epoch_scanned(state, groups, scan_fn, rng=None):
     return state, {k: float(v) / max(total, 1) for k, v in sums.items()}
 
 
+def make_scanned_eval(kind: str = "regression", mean: float = 0.0,
+                      std: float = 1.0):
+    """Returns run(state, stacked) -> per-batch metric arrays (incl.
+    'count'): a whole eval bucket group in one dispatch."""
+
+    @jax.jit
+    def run(state: TrainState, stacked):
+        n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+
+        def body(_, i):
+            batch = jax.tree_util.tree_map(lambda x: x[i], stacked)
+            gmask = _graph_mask(batch)
+            out, _ = _forward(state, state.params, batch, train=False)
+            _, mets = _loss_and_metrics(out, batch.y, gmask, kind, mean, std)
+            mets["count"] = gmask.sum()
+            return 0, mets
+
+        _, mets = jax.lax.scan(body, 0, jnp.arange(n))
+        return mets
+
+    return run
+
+
+def evaluate_scanned(state, groups, scan_eval_fn):
+    """evaluate() over pre-stacked bucket groups: one dispatch per group."""
+    sums: dict = {}
+    total = 0.0
+    for stacked in groups:
+        mets = {k: np.asarray(v) for k, v in scan_eval_fn(state, stacked).items()}
+        n = mets.pop("count")
+        total += float(n.sum())
+        for k, v in mets.items():
+            sums[k] = sums.get(k, 0.0) + float((v * n).sum())
+    return {k: v / max(total, 1.0) for k, v in sums.items()}
+
+
 def run_epoch(state, loader, step_fn, prefetch_size: int = 2):
     """One training epoch. Metrics stay on device until the epoch ends —
     a float() per step would force a host sync that serializes dispatch
@@ -294,12 +330,21 @@ def fit(
     # cached loader's shuffle setting (off -> deterministic batch order)
     shuffle_rng = (np.random.default_rng(cfg.seed)
                    if getattr(train_loader, "shuffle", True) else None)
+    eval_groups: dict = {}
+    scan_eval_fn = None
     if (getattr(cfg, "scan_epochs", False) and mesh is None
             and hasattr(train_loader, "materialize")):
         train_loader.materialize()
         if train_loader._batches:
             scan_groups = group_stacked_batches(train_loader._batches)
             scan_fn = make_scanned_epoch(kind, mean, std)
+            scan_eval_fn = make_scanned_eval(kind, mean, std)
+            for split, loader in eval_loaders.items():
+                if loader is not None and hasattr(loader, "materialize"):
+                    loader.materialize()
+                    if loader._batches:
+                        eval_groups[split] = group_stacked_batches(
+                            loader._batches)
             log.info("scanned epochs: %d bucket group(s)", len(scan_groups))
     log.info("training: %d epochs x %d steps/epoch", cfg.epochs - start_epoch, steps_per_epoch)
     run_err = metrics_lib.RunningAverage()
@@ -322,11 +367,17 @@ def fit(
             if (epoch + 1) % cfg.eval_every == 0:
                 for split in ("valid", "test"):
                     loader = eval_loaders[split]
-                    if loader is not None and len(loader) > 0:
-                        for k, v in evaluate(state, loader, eval_step).items():
-                            row[f"{split}_{k}"] = v
-                            if k == "mae" and accuracy:
-                                row[f"{split}_error_ratio"] = v / accuracy
+                    if loader is None or len(loader) == 0:
+                        continue
+                    if split in eval_groups:
+                        split_m = evaluate_scanned(
+                            state, eval_groups[split], scan_eval_fn)
+                    else:
+                        split_m = evaluate(state, loader, eval_step)
+                    for k, v in split_m.items():
+                        row[f"{split}_{k}"] = v
+                        if k == "mae" and accuracy:
+                            row[f"{split}_error_ratio"] = v / accuracy
             row["epoch_time_s"] = time.time() - t0
             log.info("epoch %d done in %.1fs: %s", epoch + 1,
                      row["epoch_time_s"],
