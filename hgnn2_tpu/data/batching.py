@@ -100,6 +100,13 @@ class CachedLoader:
             self._batches = list(self.inner)
         return self
 
+    def release(self) -> None:
+        """Drop the cached batches (rebuilt from the inner loader on the
+        next materialize). The scanned-epoch path calls this after stacking
+        the batches into bucket groups, so the per-batch copies don't stay
+        resident alongside the stacks for the whole run."""
+        self._batches = None
+
     def __iter__(self):
         self.materialize()
         order = np.arange(len(self._batches))

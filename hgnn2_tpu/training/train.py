@@ -182,8 +182,14 @@ def make_eval_step(kind: str = "regression", mean: float = 0.0, std: float = 1.0
 
 def group_stacked_batches(batches):
     """Group same-shape batches (bucket groups) and stack each group on a
-    new leading axis, device-resident. First-appearance order preserved, so
-    with sorted bucketing the scanned sequence matches the loader's."""
+    new leading axis, device-resident, in first-appearance order.
+
+    Ordering semantics: the scanned sequence runs each group contiguously,
+    so it reproduces the loader's exact order only when same-shape batches
+    are already contiguous there (true for sorted dense bucketing — the
+    default). When buckets interleave (lggnn edge buckets can), scanning
+    is a reordering of the epoch — run_epoch_scanned shuffles GROUP order
+    per epoch as well, so no group is systematically last."""
     groups: dict = {}
     for b in batches:
         key = tuple(
@@ -200,10 +206,17 @@ def group_stacked_batches(batches):
 def run_epoch_scanned(state, groups, scan_fn, rng=None):
     """One training epoch as one compiled program per bucket group
     (make_scanned_epoch): a handful of dispatches per epoch instead of one
-    per step. rng (numpy Generator) shuffles batch order within groups."""
+    per step. rng (numpy Generator) shuffles batch order within each group
+    AND the group execution order, so no bucket is systematically trained
+    last epoch after epoch; rng=None keeps first-appearance group order
+    with identity permutations (deterministic)."""
     sums: dict = {}
     total = 0
-    for stacked in groups:
+    group_order = np.arange(len(groups))
+    if rng is not None:
+        rng.shuffle(group_order)
+    for g in group_order:
+        stacked = groups[g]
         n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
         order = np.arange(n) if rng is None else rng.permutation(n)
         state, mets = scan_fn(state, stacked, jnp.asarray(order))
@@ -339,12 +352,16 @@ def fit(
             scan_groups = group_stacked_batches(train_loader._batches)
             scan_fn = make_scanned_epoch(kind, mean, std)
             scan_eval_fn = make_scanned_eval(kind, mean, std)
+            if hasattr(train_loader, "release"):
+                train_loader.release()  # the stacks replace the per-batch cache
             for split, loader in eval_loaders.items():
                 if loader is not None and hasattr(loader, "materialize"):
                     loader.materialize()
                     if loader._batches:
                         eval_groups[split] = group_stacked_batches(
                             loader._batches)
+                        if hasattr(loader, "release"):
+                            loader.release()
             log.info("scanned epochs: %d bucket group(s)", len(scan_groups))
     log.info("training: %d epochs x %d steps/epoch", cfg.epochs - start_epoch, steps_per_epoch)
     run_err = metrics_lib.RunningAverage()

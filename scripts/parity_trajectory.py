@@ -29,14 +29,19 @@ MARK_END = "<!-- trajectory:end -->"
 def run_arch(arch):
     ref, ours = tc.run_both(h=2, L=3, J=1, bs=16, lr=1e-3, epochs=EPOCHS,
                             arch=arch, order=2)
+    return _delta_rows(arch, ref, ours)
+
+
+CCN_CFG = {"h": 4, "L": 2, "lr": 1e-3, "epochs": 10, "n_mol": 96}
+
+
+def _delta_rows(tag, ref, ours):
     rows = []
     for e, (a, b) in enumerate(zip(ref["history"], ours["history"])):
-        rel = {
-            k: abs(b[k] - a[k]) / max(abs(a[k]), 1e-8) for k in a
-        }
+        rel = {k: abs(b[k] - a[k]) / max(abs(a[k]), 1e-8) for k in a}
         rows.append({"epoch": e + 1, "reference": a, "ours": b,
                      "rel_delta": rel})
-        print(f"{arch} epoch {e+1:2d}: ref loss {a['train_loss_ema']:.5f} "
+        print(f"{tag} epoch {e+1:2d}: ref loss {a['train_loss_ema']:.5f} "
               f"ours {b['train_loss_ema']:.5f} "
               f"(rel {rel['train_loss_ema']:.2e}); "
               f"val mae ref {a['val_mae']:.5f} ours {b['val_mae']:.5f} "
@@ -46,17 +51,8 @@ def run_arch(arch):
 
 
 def run_ccn():
-    ref, ours = tc.run_both_ccn(h=4, L=2, lr=1e-3, epochs=10, n_mol=96)
-    rows = []
-    for e, (a, b) in enumerate(zip(ref["history"], ours["history"])):
-        rel = {k: abs(b[k] - a[k]) / max(abs(a[k]), 1e-8) for k in a}
-        rows.append({"epoch": e + 1, "reference": a, "ours": b,
-                     "rel_delta": rel})
-        print(f"ccn epoch {e+1:2d}: ref loss {a['train_loss_ema']:.5f} "
-              f"ours {b['train_loss_ema']:.5f} "
-              f"(rel {rel['train_loss_ema']:.2e})", flush=True)
-    worst = max(max(r["rel_delta"].values()) for r in rows)
-    return rows, worst
+    ref, ours = tc.run_both_ccn(**CCN_CFG)
+    return _delta_rows("ccn", ref, ours)
 
 
 def main():
@@ -77,8 +73,7 @@ def main():
             "worst_rel_delta": worst,
             "lggnn_worst_rel_delta": lg_worst,
             "ccn_worst_rel_delta": ccn_worst,
-            "ccn_config": {"h": 4, "L": 2, "lr": 1e-3, "epochs": 10,
-                           "n_mol": 96, "loop": "per-molecule bs=1, the "
+            "ccn_config": {**CCN_CFG, "loop": "per-molecule bs=1, the "
                            "reference's own train_ccn/test_ccn"},
             "epochs": rows,
             "lggnn_epochs": lg_rows,

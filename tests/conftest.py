@@ -45,22 +45,13 @@ def rng():
 def reference_ccn_utils(reference_path):
     """Reference CompnetUtils with a torch-version shim: its _get_chi
     detects 'no shared neighbor' via nonzero().shape == Size([0]), which on
-    modern torch is Size([0, 1]) — same math, updated emptiness check."""
-    import torch
+    modern torch is Size([0, 1]) — same math, updated emptiness check
+    (shared with the trajectory harness)."""
     from functions.utils_ccn import CompnetUtils
 
-    def _get_chi(self, i, j):
-        di = self.deg[i].item()
-        dj = self.deg[j].item()
-        chi = torch.zeros(di, dj)
-        for k in range(di):
-            ind_i = self.neighbors[i][k].item()
-            ind_j = (self.neighbors[j] == ind_i).nonzero()
-            if ind_j.numel() > 0:
-                chi[k, ind_j.item()] = 1
-        return chi
+    from tests.trajectory_common import _patch_ccn_utils
 
-    CompnetUtils._get_chi = _get_chi
+    _patch_ccn_utils()
     return CompnetUtils
 
 
