@@ -129,3 +129,13 @@ def test_cached_loader_replays_and_shuffles_order():
     assert [id(b) for b in second] != [id(b) for b in first]
     tot = sum(int((np.asarray(b.n_nodes) > 0).sum()) for b in first)
     assert tot == 48
+    # release() drops the cache; the next epoch transparently rebuilds
+    # equivalent batches from the inner loader
+    cached.release()
+    assert cached._batches is None
+    rebuilt = list(cached)
+    assert len(rebuilt) == len(first)
+    np.testing.assert_array_equal(
+        np.sort(np.concatenate([np.asarray(b.y) for b in rebuilt])),
+        np.sort(np.concatenate([np.asarray(b.y) for b in first])),
+    )
