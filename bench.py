@@ -10,6 +10,13 @@ environment; molecule size distribution matches QM9's 9-29 atoms).
 Baseline: the reference trains this config at ~500 molecules/s on its 12GB
 GPU (BASELINE.md: 4,306 s / 20 epochs over 107,108 molecules).
 
+Methodology note: the measurement scans many optimizer steps over ONE
+device-resident batch, which amortizes dispatch AND lets XLA hoist
+batch-dependent subexpressions out of the loop — an upper bound on
+device throughput. The honest end-to-end number is bench_epoch.py's
+scanned-epoch row (fresh batch every step, loader included), which
+BENCH_DETAILS.json reports alongside this one.
+
 Prints exactly ONE JSON line on stdout; details go to stderr.
 """
 
