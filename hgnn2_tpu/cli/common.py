@@ -189,26 +189,32 @@ def run_experiment(cfg: TrainConfig):
             os.makedirs(cfg.checkpoint_path, exist_ok=True)
             tstats.save(os.path.join(cfg.checkpoint_path, TARGET_STATS_FILE))
 
-    # --- molecule-aligned edge-sharded path (packed models) -------------
+    # --- molecule-aligned edge-sharded path (packed models), optionally
+    # composed with batch-level data parallelism on one (data, edge) mesh
     n_es = cfg.edge_shards
     if n_es == 0:
         import jax
 
         n_es = len(jax.devices())
     if n_es > 1:
-        if cfg.dp > 1:
-            raise ValueError("--dp and --edge_shards are mutually exclusive")
         from hgnn2_tpu.training import sharded as sharded_lib
 
+        n_dp = cfg.dp
+        if n_dp == 0:  # --dp 0 = fill the remaining devices
+            import jax
+
+            n_dp = max(len(jax.devices()) // n_es, 1)
+        n_dp = max(n_dp, 1)
+        bn_axes = ("data", "edge") if n_dp > 1 else "edge"
         if is_ccn:
             # CCN's parallel axis is the flattened vertex set: molecules
             # packed whole per shard, no per-layer collective
             pmodel = build_model(cfg, kind)
             family = "ccn"
         else:
-            pmodel = build_packed_model(cfg, kind, bn_axis="edge")
+            pmodel = build_packed_model(cfg, kind, bn_axis=bn_axes)
             family = "packed"
-        cfg2 = dataclasses.replace(cfg, edge_shards=n_es)
+        cfg2 = dataclasses.replace(cfg, edge_shards=n_es, dp=n_dp)
         variables, history = sharded_lib.fit_sharded(
             pmodel, cfg2,
             {"train": train_recs, "valid": valid_recs, "test": test_recs},
@@ -221,7 +227,9 @@ def run_experiment(cfg: TrainConfig):
                      {k: round(v, 4) for k, v in history[-1].items()})
         return variables, history
 
-    model = build_model(cfg, kind)
+    use_packed = cfg.model.packed and cfg.model.arch in ("gnn", "lggnn")
+    model = (build_packed_model(cfg, kind, bn_axis=None) if use_packed
+             else build_model(cfg, kind))
 
     mesh = None
     n_dp = cfg.dp
@@ -234,6 +242,12 @@ def run_experiment(cfg: TrainConfig):
             raise ValueError(
                 "--dp shards dense gnn/lggnn batches; scale CCN with "
                 "--edge_shards (vertex sharding, parallel/ccn_parallel.py)"
+            )
+        if use_packed:
+            raise ValueError(
+                "--packed batches have flat node/edge leading axes that "
+                "--dp cannot shard batch-wise; scale packed models with "
+                "--edge_shards (molecule-aligned sharding)"
             )
         if cfg.batch_size % n_dp:
             raise ValueError(
@@ -251,10 +265,19 @@ def run_experiment(cfg: TrainConfig):
         if not recs:
             return None
         shuffle = split == "train"
+        # cached batches keep fixed composition (SGD stochasticity from
+        # order-level shuffling) unless redeal_every asks for periodic
+        # re-deals — then the inner loader shuffles so each rebuild deals
+        # molecules into fresh batches
+        redeal = cfg.data.redeal_every if split == "train" else 0
+        inner_shuffle = shuffle and (not cfg.data.cache_batches or redeal > 0)
         if is_ccn:
             loader = batching.CCNLoader(
-                recs, cfg.batch_size, task=task,
-                shuffle=shuffle and not cfg.data.cache_batches,
+                recs, cfg.batch_size, task=task, shuffle=inner_shuffle,
+            )
+        elif use_packed:
+            loader = batching.PackedLoader(
+                recs, cfg.batch_size, task=task, shuffle=inner_shuffle,
             )
         else:
             loader = batching.DenseLoader(
@@ -262,9 +285,7 @@ def run_experiment(cfg: TrainConfig):
                 cfg.batch_size,
                 task=task,
                 with_line_graph=cfg.model.arch == "lggnn",
-                # cached batches keep fixed composition; SGD stochasticity
-                # comes from order-level shuffling in CachedLoader
-                shuffle=shuffle and not cfg.data.cache_batches,
+                shuffle=inner_shuffle,
             )
         if mesh is not None:
             from hgnn2_tpu.parallel import spmd
@@ -272,7 +293,8 @@ def run_experiment(cfg: TrainConfig):
             loader = spmd.ShardedLoader(loader, mesh)
         if cfg.data.cache_batches:
             loader = batching.CachedLoader(
-                loader, shuffle=shuffle, seed=cfg.seed
+                loader, shuffle=shuffle, seed=cfg.seed,
+                redeal_every=redeal,
             )
         return loader
 
@@ -320,16 +342,31 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--shuffle", action="store_true")
     p.add_argument("--compat_reference", action="store_true")
     p.add_argument("--dp", type=int, default=1,
-                   help="data-parallel devices (0 = all local devices)")
+                   help="data-parallel devices (0 = all local devices). "
+                        "Composes with --edge_shards into one "
+                        "(data, edge) mesh: --dp M --edge_shards N uses "
+                        "M*N devices")
     p.add_argument("--edge_shards", type=int, default=1,
                    help="molecule-aligned edge sharding over N devices "
                         "(0 = all; packed models, zero comm per apply)")
     p.add_argument("--no_cache", action="store_true",
                    help="disable device-resident batch caching (re-pad "
-                        "every epoch like the reference)")
+                        "every epoch like the reference). Cached batches "
+                        "keep fixed COMPOSITION (order-only shuffle) — "
+                        "see --redeal_every for reference SGD semantics")
+    p.add_argument("--redeal_every", type=int, default=0,
+                   help="with caching: re-deal molecules into fresh "
+                        "batches every K epochs (0 = never); restores the "
+                        "reference's per-epoch batch recomposition at the "
+                        "cost of a host rebuild per re-deal")
     p.add_argument("--no_scan", action="store_true",
                    help="dispatch each optimizer step separately instead "
                         "of scanning whole epochs in one program")
+    p.add_argument("--packed", action="store_true",
+                   help="gnn/lggnn: train the packed segment-sum model "
+                        "(flat node/edge arrays; the bandwidth-right "
+                        "layout at small h). Single mesh only — use "
+                        "--edge_shards to scale packed models out")
     return p
 
 
@@ -351,6 +388,7 @@ def config_from_args(args, arch: str, dataset: str) -> TrainConfig:
     cfg.model.n_layers = args.layers
     cfg.model.J = args.J
     cfg.model.compat_reference = args.compat_reference
+    cfg.model.packed = getattr(args, "packed", False)
     cfg.data.dataset = dataset
     cfg.data.data_path = args.data_path
     cfg.data.task = args.task
@@ -358,5 +396,6 @@ def config_from_args(args, arch: str, dataset: str) -> TrainConfig:
     cfg.dp = getattr(args, "dp", 1)
     cfg.edge_shards = getattr(args, "edge_shards", 1)
     cfg.data.cache_batches = not getattr(args, "no_cache", False)
+    cfg.data.redeal_every = getattr(args, "redeal_every", 0)
     cfg.scan_epochs = not getattr(args, "no_scan", False)
     return cfg

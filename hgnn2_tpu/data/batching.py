@@ -82,18 +82,22 @@ class CachedLoader:
 
     The reference re-pads every batch on the host every epoch
     (functions/batching.py:77) which makes real epochs host-bound; caching
-    keeps epochs device-bound at the cost of fixed batch composition
-    (molecules are not re-dealt into new batches each epoch — order-level
-    shuffling preserves SGD's stochasticity for bucketed same-shape
-    batches). Build cost is paid once, on the first epoch or an explicit
-    materialize().
+    keeps epochs device-bound at the cost of fixed batch composition —
+    molecules are NOT re-dealt into new batches each epoch (a deliberate
+    SGD-semantics divergence from the reference; order-level shuffling
+    keeps stochasticity for bucketed same-shape batches). redeal_every=K
+    rebuilds the batches from the inner loader every K iterations — give
+    the inner loader shuffle=True so each rebuild is a fresh deal. Build
+    cost is paid once per (re)build, on first use or materialize().
     """
 
     inner: object
     shuffle: bool = True
     seed: int = 0
+    redeal_every: int = 0
     _batches: list | None = None
     _epoch: int = 0
+    _iters: int = 0
 
     def materialize(self) -> "CachedLoader":
         if self._batches is None:
@@ -107,7 +111,24 @@ class CachedLoader:
         resident alongside the stacks for the whole run."""
         self._batches = None
 
+    def maybe_redeal(self) -> bool:
+        """Advance the epoch counter; drop the cache when a re-deal is due
+        (every redeal_every-th iteration). Returns True when the next
+        materialize() will rebuild. Called by __iter__; the scanned-epoch
+        path (which bypasses __iter__) calls it once per epoch and restacks
+        its bucket groups when it returns True."""
+        due = bool(
+            self.redeal_every
+            and self._iters
+            and self._iters % self.redeal_every == 0
+        )
+        self._iters += 1
+        if due:
+            self._batches = None
+        return due
+
     def __iter__(self):
+        self.maybe_redeal()
         self.materialize()
         order = np.arange(len(self._batches))
         if self.shuffle:
@@ -121,6 +142,62 @@ class CachedLoader:
         if self._batches is not None:
             return len(self._batches)
         return len(self.inner)
+
+
+# capacity ladder for packed batches: ~1.06x steps, so a handful of
+# compiled shapes cover a full run while padding waste stays <6%
+_PACKED_BUCKETS = tuple(sorted({
+    (1 << k) * m // 16 for k in range(4, 26) for m in range(16, 32)
+}))
+
+
+@dataclasses.dataclass
+class PackedLoader:
+    """Yields PackedGraphBatch objects (flat node/edge arrays + segment
+    ids) with static bucketed capacities — the segment-sum layout
+    (nn/packed.py PackedGNN/PackedLGGNN) as a shipped training path.
+
+    At small feature widths this is the bandwidth-right layout: operator
+    applications read int32 index arrays (4 B/edge) instead of the dense
+    path's one-hot scatter matrices (4*N bytes/edge), which is what makes
+    the flagship h=1 LGGNN step fast on an HBM-bound chip. Compose with
+    CachedLoader exactly like DenseLoader."""
+
+    records: Sequence[GraphRecord]
+    batch_size: int
+    task: int | None = None
+    sort: bool = True
+    shuffle: bool = False
+    seed: int = 0
+    _epoch: int = 0
+
+    def __iter__(self) -> Iterator[graphs.PackedGraphBatch]:
+        idx = np.arange(len(self.records))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+            self._epoch += 1
+        if self.sort:
+            sizes = np.array([self.records[i].n_nodes for i in idx])
+            idx = idx[np.argsort(sizes, kind="stable")]
+        for s in range(0, len(idx), self.batch_size):
+            chunk = [self.records[i] for i in idx[s : s + self.batch_size]]
+            vcap = pad_to_bucket(
+                sum(r.n_nodes for r in chunk), _PACKED_BUCKETS
+            )
+            ecap = pad_to_bucket(
+                sum(r.n_dir_edges for r in chunk), _PACKED_BUCKETS
+            )
+            yield graphs.make_packed_batch(
+                chunk,
+                node_capacity=vcap,
+                edge_capacity=ecap,
+                task=self.task,
+                batch_size=self.batch_size,
+            )
+
+    def __len__(self) -> int:
+        return (len(self.records) + self.batch_size - 1) // self.batch_size
 
 
 @dataclasses.dataclass

@@ -71,7 +71,7 @@ class MaskedBatchNorm(nn.Module):
     # shard_map (molecule-aligned sharding, parallel/spmd.py): two tiny
     # psums of (F,) stats replace any per-apply feature exchange, keeping
     # sharded training bit-compatible (up to fp reorder) with single-chip
-    axis_name: str | None = None
+    axis_name: str | tuple | None = None
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:

@@ -89,7 +89,7 @@ class PackedLGGNN(nn.Module):
     J: int = 1
     order: int = 1
     compat: CompatConfig = CompatConfig()
-    bn_axis: str | None = None
+    bn_axis: str | tuple | None = None
 
     @nn.compact
     def __call__(
@@ -160,14 +160,20 @@ class PackedLGGNN(nn.Module):
 
 
 class PackedGNN(nn.Module):
-    """Power GNN over packed graphs; mirrors GNNSimple layer-for-layer."""
+    """Power GNN over packed graphs; mirrors GNNSimple layer-for-layer.
+
+    Accepts either a bare graph_op_fn or a full operator bundle (ops=) with
+    the SparsePackedOps interface — the latter is what partitioned
+    executors (spmd.partitioned_packed_ops, parallel.halo.HaloLocalOps)
+    hand every packed model, so the same loss drivers serve PackedGNN and
+    PackedLGGNN."""
 
     n_features: int
     n_layers: int
     dim_output: int = 1
     J: int = 1
     compat: CompatConfig = CompatConfig()
-    bn_axis: str | None = None
+    bn_axis: str | tuple | None = None
 
     @nn.compact
     def __call__(
@@ -175,8 +181,11 @@ class PackedGNN(nn.Module):
         pb: PackedGraphBatch,
         train: bool = True,
         graph_op_fn: Callable | None = None,
+        ops=None,
     ) -> jnp.ndarray:
         V = pb.num_node_slots
+        if graph_op_fn is None and ops is not None:
+            graph_op_fn = ops.graph_op
         if graph_op_fn is None:
             deg = sparse.degrees(pb.src, pb.w, V)
 

@@ -48,68 +48,113 @@ class HaloPartition:
         return self.src_local.shape[0]
 
 
+def _halo_exchange_tables(ref_shard, items, item_owner, item_local,
+                          n_shards: int, id_space: int):
+    """Vectorized export/import tables for one halo exchange.
+
+    ref_shard/items: per-reference arrays (e.g. one entry per cut edge) of
+    the REFERENCING shard and the referenced global item id.
+    item_owner(ids) -> owning shard; item_local(ids) -> the item's index in
+    its owner's export source array. Returns
+    (export_idx (S, cap), import_flat (S, icap), icap, up, imp_slot) where
+    up is the sorted unique (shard, item) pair-key array and imp_slot the
+    per-pair slot within its shard's (item-sorted) import list — feed both
+    to _remap_refs to rewrite per-reference indices into [local | halo]."""
+    S = n_shards
+    pair = ref_shard.astype(np.int64) * id_space + items
+    up = np.unique(pair)
+    imp_shard = up // id_space
+    imp_item = up % id_space
+    # export side: unique items grouped by owner, item-sorted within owner
+    exp_items = np.unique(imp_item)
+    exp_owner = np.asarray(item_owner(exp_items), np.int64)
+    order = np.argsort(exp_owner, kind="stable")
+    eo = exp_owner[order]
+    counts = np.bincount(eo, minlength=S)
+    cap = max(int(counts.max()) if exp_items.size else 0, 1)
+    start = np.concatenate([[0], np.cumsum(counts)])
+    slot = np.arange(len(eo)) - start[eo]
+    export_idx = np.zeros((S, cap), np.int32)
+    export_idx[eo, slot] = np.asarray(
+        item_local(exp_items[order]), np.int64
+    ).astype(np.int32)
+    # flat slot of each export item in the (S*cap) all_gather buffer,
+    # aligned with the item-sorted exp_items for searchsorted lookups
+    flat_by_item = np.zeros(len(exp_items), np.int64)
+    flat_by_item[order] = eo * cap + slot
+    # import side: up is sorted by (shard, item), so one pass gives every
+    # shard's item-sorted import list
+    icounts = np.bincount(imp_shard, minlength=S)
+    icap = max(int(icounts.max()) if up.size else 0, 1)
+    istart = np.concatenate([[0], np.cumsum(icounts)])
+    imp_slot = np.arange(len(up)) - istart[imp_shard]
+    import_flat = np.zeros((S, icap), np.int32)
+    if up.size:
+        pos = np.searchsorted(exp_items, imp_item)
+        import_flat[imp_shard, imp_slot] = flat_by_item[pos].astype(np.int32)
+    return export_idx, import_flat, icap, up, imp_slot
+
+
+def _remap_refs(ref_shard, items, remote, up, imp_slot, id_space: int,
+                local_vals, offset: int):
+    """Per-reference index into [local | halo]: local_vals where local,
+    offset + the shard's import slot where remote."""
+    if not up.size:
+        return np.asarray(local_vals, np.int64)
+    pair = ref_shard.astype(np.int64) * id_space + items
+    pos = np.clip(np.searchsorted(up, pair), 0, len(up) - 1)
+    return np.where(remote, offset + imp_slot[pos], local_vals)
+
+
+def _shard_scatter_plan(owner, n_shards: int, min_cap: int = 0):
+    """Row/col scatter coordinates that place each element into its shard's
+    padded row while preserving original order within a shard. Returns
+    (row, col, order, cap)."""
+    order = np.argsort(owner, kind="stable")
+    counts = np.bincount(owner, minlength=n_shards)
+    cap = max(int(counts.max()) if len(owner) else 0, min_cap)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    row = owner[order]
+    col = np.arange(len(order)) - starts[row]
+    return row, col, order, cap
+
+
 def build_halo_partition(
     src: np.ndarray, dst: np.ndarray, w: np.ndarray, num_nodes: int, n_shards: int
 ) -> HaloPartition:
-    """Contiguous-range node partition; edges owned by their source shard."""
+    """Contiguous-range node partition; edges owned by their source shard.
+
+    Fully vectorized host-side build (numpy sort/unique/bincount group-bys,
+    O(E log E)) — the giant-graph regime this partitioning exists for means
+    millions of edges, where per-edge Python loops would dominate the run.
+    bench_suite.py's halo_partition_build row records build time at 10^6+
+    edges."""
     if num_nodes % n_shards:
         raise ValueError(f"num_nodes {num_nodes} % n_shards {n_shards} != 0")
     vl = num_nodes // n_shards
-    owner_src = src // vl
-    owner_dst = dst // vl
-
-    per_src, per_dst, per_w, per_import = [], [], [], []
-    exports: list[set] = [set() for _ in range(n_shards)]
-    for s in range(n_shards):
-        sel = owner_src == s
-        e_src = src[sel] - s * vl
-        e_dst = dst[sel]
-        e_own = owner_dst[sel]
-        remote = e_own != s
-        for node in np.unique(e_dst[remote]):
-            exports[int(node // vl)].add(int(node))
-        per_src.append(e_src.astype(np.int32))
-        per_dst.append((e_dst, e_own, remote))
-        per_w.append(w[sel].astype(np.float32))
-
-    export_lists = [np.array(sorted(e), dtype=np.int64) for e in exports]
-    hx = max((len(e) for e in export_lists), default=0)
-    hx = max(hx, 1)
-    export_idx = np.zeros((n_shards, hx), np.int32)
-    slot_of = {}
-    for s, lst in enumerate(export_lists):
-        export_idx[s, : len(lst)] = (lst - s * vl).astype(np.int32)
-        for j, node in enumerate(lst):
-            slot_of[int(node)] = (s, j)
-
-    # per-shard import tables + remap dst to [x_local | halo]
-    el = max(len(a) for a in per_src)
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    w = np.asarray(w)
     S = n_shards
+    owner_src = src // vl
+    remote = owner_src != dst // vl
+
+    export_idx, import_flat, hi, up, imp_slot = _halo_exchange_tables(
+        owner_src[remote], dst[remote],
+        item_owner=lambda n: n // vl, item_local=lambda n: n - (n // vl) * vl,
+        n_shards=S, id_space=num_nodes,
+    )
+    dst_local_g = _remap_refs(owner_src, dst, remote, up, imp_slot,
+                              num_nodes, dst - owner_src * vl, vl)
+
+    # scatter edges into padded (S, el) rows, original order per shard
+    row, col, order, el = _shard_scatter_plan(owner_src, S)
     src_pad = np.zeros((S, el), np.int32)
     dst_pad = np.zeros((S, el), np.int32)
     w_pad = np.zeros((S, el), np.float32)
-    import_lists = []
-    for s in range(S):
-        e_dst, e_own, remote = per_dst[s]
-        imp = np.unique(e_dst[remote])
-        imp_pos = {int(n): i for i, n in enumerate(imp)}
-        imp_idx = np.array(
-            [imp_pos.get(int(n), 0) for n in e_dst], dtype=np.int64
-        ) if len(e_dst) else np.zeros(0, np.int64)
-        dl = np.where(remote, vl + imp_idx, e_dst - s * vl).astype(np.int32)
-        n = len(per_src[s])
-        src_pad[s, :n] = per_src[s]
-        dst_pad[s, :n] = dl
-        w_pad[s, :n] = per_w[s]
-        import_lists.append(imp)
-
-    hi = max((len(i) for i in import_lists), default=0)
-    hi = max(hi, 1)
-    import_flat = np.zeros((S, hi), np.int32)
-    for s, imp in enumerate(import_lists):
-        for i, node in enumerate(imp):
-            o, j = slot_of[int(node)]
-            import_flat[s, i] = o * hx + j
+    src_pad[row, col] = (src[order] - row * vl).astype(np.int32)
+    dst_pad[row, col] = dst_local_g[order].astype(np.int32)
+    w_pad[row, col] = w[order].astype(np.float32)
 
     return HaloPartition(
         src_local=jnp.asarray(src_pad),
@@ -190,108 +235,67 @@ class HaloLGBundle:
 def build_halo_lg_bundle(pb, n_shards: int) -> HaloLGBundle:
     """Partition a PackedGraphBatch (typically one giant graph) into
     n_shards contiguous node ranges with full halo tables for every
-    line-graph operator. Requires num_node_slots % n_shards == 0."""
+    line-graph operator. Requires num_node_slots % n_shards == 0.
+
+    Host-side build is fully vectorized (same group-by machinery as
+    build_halo_partition) so million-edge giant graphs partition in
+    O(E log E) numpy time, not per-edge Python."""
     V = pb.num_node_slots
     if V % n_shards:
         raise ValueError(f"node slots {V} % n_shards {n_shards} != 0")
     vl = V // n_shards
-    src = np.asarray(pb.src)
-    dst = np.asarray(pb.dst)
+    S = n_shards
+    src = np.asarray(pb.src, np.int64)
+    dst = np.asarray(pb.dst, np.int64)
     w = np.asarray(pb.w, np.float32)
-    rev = np.asarray(pb.rev)
+    rev = np.asarray(pb.rev, np.int64)
     emask = np.asarray(pb.edge_mask, np.float32)
+    E = len(src)
     owner = src // vl
 
     # edges to shards, original order preserved; global slot map
-    gids = [np.where(owner == s)[0] for s in range(n_shards)]
-    el = max((len(g) for g in gids), default=0)
-    el = max(el, 1)
-    slot_of_edge = np.empty(len(src), np.int64)
-    for s, g in enumerate(gids):
-        slot_of_edge[g] = np.arange(len(g))
+    row, col, order, el = _shard_scatter_plan(owner, S, min_cap=1)
+    slot_of_edge = np.empty(E, np.int64)
+    slot_of_edge[order] = col
 
     # node halo: per-shard unique remote dst nodes
-    nexports: list[set] = [set() for _ in range(n_shards)]
-    nimp_lists = []
-    for s, g in enumerate(gids):
-        remote = dst[g] // vl != s
-        imp = np.unique(dst[g][remote])
-        nimp_lists.append(imp)
-        for node in imp:
-            nexports[int(node // vl)].add(int(node))
-    nexp_lists = [np.array(sorted(e), dtype=np.int64) for e in nexports]
-    hx = max(max((len(e) for e in nexp_lists), default=0), 1)
-    hi = max(max((len(i) for i in nimp_lists), default=0), 1)
-    nexport_idx = np.zeros((n_shards, hx), np.int32)
-    node_slot = {}
-    for s, lst in enumerate(nexp_lists):
-        nexport_idx[s, : len(lst)] = (lst - s * vl).astype(np.int32)
-        for j, node in enumerate(lst):
-            node_slot[int(node)] = s * hx + j
-    nimport_flat = np.zeros((n_shards, hi), np.int32)
-    for s, imp in enumerate(nimp_lists):
-        for i, node in enumerate(imp):
-            nimport_flat[s, i] = node_slot[int(node)]
+    n_remote = dst // vl != owner
+    nexport_idx, nimport_flat, hi, n_up, n_slot = _halo_exchange_tables(
+        owner[n_remote], dst[n_remote],
+        item_owner=lambda n: n // vl, item_local=lambda n: n - (n // vl) * vl,
+        n_shards=S, id_space=V,
+    )
+    hx = nexport_idx.shape[1]
 
     # edge halo: per-shard unique remote REVERSE edges of local edges
-    eexports: list[set] = [set() for _ in range(n_shards)]
-    eimp_lists = []
-    for s, g in enumerate(gids):
-        r = rev[g]
-        r_owner = src[r] // vl
-        imp = np.unique(r[r_owner != s])
-        eimp_lists.append(imp)
-        for ge in imp:
-            eexports[int(src[ge] // vl)].add(int(ge))
-    eexp_lists = [np.array(sorted(e), dtype=np.int64) for e in eexports]
-    gx = max(max((len(e) for e in eexp_lists), default=0), 1)
-    gi = max(max((len(i) for i in eimp_lists), default=0), 1)
-    eexport_idx = np.zeros((n_shards, gx), np.int32)
-    edge_slot = {}
-    for s, lst in enumerate(eexp_lists):
-        eexport_idx[s, : len(lst)] = slot_of_edge[lst].astype(np.int32)
-        for j, ge in enumerate(lst):
-            edge_slot[int(ge)] = s * gx + j
-    eimport_flat = np.zeros((n_shards, gi), np.int32)
-    for s, imp in enumerate(eimp_lists):
-        for i, ge in enumerate(imp):
-            eimport_flat[s, i] = edge_slot[int(ge)]
+    r_owner = owner[rev]
+    e_remote = r_owner != owner
+    eexport_idx, eimport_flat, gi, e_up, e_slot = _halo_exchange_tables(
+        owner[e_remote], rev[e_remote],
+        item_owner=lambda ge: owner[ge], item_local=lambda ge: slot_of_edge[ge],
+        n_shards=S, id_space=max(E, 1),
+    )
+    gx = eexport_idx.shape[1]
 
-    # per-shard local edge arrays
-    S = n_shards
+    # per-edge remaps into [local | halo] coordinates
+    d_ext = _remap_refs(owner, dst, n_remote, n_up, n_slot, V,
+                        dst - owner * vl, vl)
+    r_ext = _remap_refs(owner, rev, e_remote, e_up, e_slot, max(E, 1),
+                        slot_of_edge[rev], el)
+
+    # per-shard local edge arrays (scatter, original order per shard)
     src_local = np.zeros((S, el), np.int32)
     dst_ext = np.zeros((S, el), np.int32)
     w_pad = np.zeros((S, el), np.float32)
     w_rev = np.zeros((S, el), np.float32)
     rev_ext = np.tile(np.arange(el, dtype=np.int32), (S, 1))  # self at padding
     em_pad = np.zeros((S, el), np.float32)
-    for s, g in enumerate(gids):
-        n = len(g)
-        src_local[s, :n] = (src[g] - s * vl).astype(np.int32)
-        # dst into [x_local | node_halo]
-        d = dst[g]
-        remote = d // vl != s
-        imp_pos = {int(node): i for i, node in enumerate(nimp_lists[s])}
-        d_ext = np.where(
-            remote,
-            vl + np.array([imp_pos.get(int(x), 0) for x in d], np.int64),
-            d - s * vl,
-        )
-        dst_ext[s, :n] = d_ext.astype(np.int32)
-        w_pad[s, :n] = w[g]
-        w_rev[s, :n] = w[rev[g]]
-        em_pad[s, :n] = emask[g]
-        # rev into [xl_local | edge_halo]
-        r = rev[g]
-        r_owner = src[r] // vl
-        r_remote = r_owner != s
-        rimp_pos = {int(ge): i for i, ge in enumerate(eimp_lists[s])}
-        r_ext = np.where(
-            r_remote,
-            el + np.array([rimp_pos.get(int(x), 0) for x in r], np.int64),
-            slot_of_edge[r],
-        )
-        rev_ext[s, :n] = r_ext.astype(np.int32)
+    src_local[row, col] = (src[order] - row * vl).astype(np.int32)
+    dst_ext[row, col] = d_ext[order].astype(np.int32)
+    w_pad[row, col] = w[order]
+    w_rev[row, col] = w[rev[order]]
+    em_pad[row, col] = emask[order]
+    rev_ext[row, col] = r_ext[order].astype(np.int32)
 
     x = np.asarray(pb.x)
     node_gid = np.asarray(pb.node_gid)
@@ -466,8 +470,10 @@ class HaloLocalOps:
 def halo_packed_loss(model, mesh: Mesh, bundle: HaloLGBundle,
                      kind: str = "regression", mean: float = 0.0,
                      std: float = 1.0, comm_log: dict | None = None):
-    """Masked training loss of a packed model (bn_axis='edge') over a
-    halo-partitioned bundle; differentiable. Per-shard readouts are partial
+    """Masked training loss of a packed model (PackedLGGNN or PackedGNN,
+    built with bn_axis='edge') over a halo-partitioned bundle;
+    differentiable. The model receives the HaloLocalOps bundle via ops=
+    (PackedGNN uses only its graph_op). Per-shard readouts are partial
     sums (each shard owns a node range), assembled by one psum of the tiny
     (B, dim) output block."""
     from hgnn2_tpu.graphs import PackedGraphBatch

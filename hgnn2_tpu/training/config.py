@@ -34,6 +34,11 @@ class ModelConfig:
     compat_reference: bool = False
     compat_contractions: bool = False  # ccn2d
     vertex_chunks: int = 1  # ccn2d: chunk vertices to bound promotion memory
+    # gnn/lggnn: train the packed segment-sum twin (PackedGNN/PackedLGGNN
+    # over PackedLoader batches) instead of dense blocks — the
+    # bandwidth-right layout at small h (indices, not one-hot matrices).
+    # Single-mesh only; multi-device packed training is --edge_shards.
+    packed: bool = False
 
 
 @dataclasses.dataclass
@@ -51,8 +56,15 @@ class DataConfig:
     shuffle_split: bool = False
     # build every padded batch once and replay device-resident batches on
     # later epochs (order-level shuffle); the reference re-pads every batch
-    # on the host every epoch (functions/batching.py:77)
+    # on the host every epoch (functions/batching.py:77). NOTE this fixes
+    # batch COMPOSITION for the run (only order reshuffles) — a deliberate
+    # divergence from the reference's per-epoch re-deal; set redeal_every
+    # or cache_batches=False for reference SGD semantics.
     cache_batches: bool = True
+    # with cache_batches: re-deal molecules into fresh batches every K
+    # epochs (0 = never). Restores composition-level SGD stochasticity at
+    # the cost of one host-side rebuild (+ possible recompile) per re-deal.
+    redeal_every: int = 0
 
 
 @dataclasses.dataclass

@@ -1,12 +1,18 @@
 """Molecule-aligned edge-sharded training — the headline scaling mode,
-wired into the shipped trainer (cli --edge_shards N).
+wired into the shipped trainer (cli --edge_shards N), composable with
+batch-level data parallelism (cli --dp M --edge_shards N: one
+(data=M, edge=N) mesh).
 
 Molecules never span shards (parallel/spmd.py make_packed_shards), so every
 graph-operator apply is fully local; the only collectives per step are the
-BatchNorm statistics (two (F,) psums + a scalar per BN) and the loss/metric
-reductions — the configuration that can actually reach the >=80% scaling
-north star (BENCH_SCALING.json projection). The psum-replicated and halo
-bundles remain the fallbacks for graphs whose cut cannot be emptied.
+BatchNorm statistics (two (F,) psums + a scalar per BN, reduced over BOTH
+mesh axes under the hybrid), the loss/metric reductions, and the gradient
+psum XLA inserts across the whole mesh — the configuration that can
+actually reach the >=80% scaling north star (BENCH_SCALING.json
+projection). This is SURVEY §2.3's target regime as one mesh program:
+batch-level DP across pod hosts WITH edge/graph partitioning within. The
+psum-replicated and halo bundles remain the fallbacks for graphs whose cut
+cannot be emptied.
 
 The reference has no distribution story at all (SURVEY §2.3); its closest
 regime is the full-batch CCN run its SLURM flags gesture at but never
@@ -43,7 +49,13 @@ class _ShardedLoaderBase:
     (device-resident) with capacities static across the epoch so one
     compiled step serves every batch; batch ORDER reshuffles per epoch.
     Subclasses implement _build(chunks, parts) from the precomputed
-    per-chunk shard partitions."""
+    per-chunk shard partitions.
+
+    n_data > 1 is the hybrid layout: each minibatch splits into n_data
+    data-parallel groups, each of which splits into n_shards
+    molecule-aligned shards — stacked to (n_data, n_shards, ...) and
+    sharded P('data', 'edge'). With n_data == 1 the stacks keep the
+    (n_shards, ...) single-axis layout."""
 
     records: Sequence
     batch_size: int
@@ -51,6 +63,7 @@ class _ShardedLoaderBase:
     task: int | None = None
     shuffle: bool = False
     seed: int = 0
+    n_data: int = 1
     _batches: list = dataclasses.field(default_factory=list)
     _epoch: int = 0
 
@@ -58,8 +71,22 @@ class _ShardedLoaderBase:
         recs = list(self.records)
         chunks = [recs[s : s + self.batch_size]
                   for s in range(0, len(recs), self.batch_size)]
-        parts = [spmd.partition_records(c, self.n_shards) for c in chunks]
+        # parts: [chunk][data_group][shard] -> records; data groups and
+        # shards are both edge-balanced greedy partitions
+        if self.n_data > 1:
+            groups = [spmd.partition_records(c, self.n_data) for c in chunks]
+            parts = [[spmd.partition_records(g, self.n_shards) for g in grp]
+                     for grp in groups]
+        else:
+            parts = [[spmd.partition_records(c, self.n_shards)]
+                     for c in chunks]
         self._build(chunks, parts)
+
+    def _stack_rows(self, rows):
+        """(n_data, n_shards, ...) when hybrid; (n_shards, ...) otherwise."""
+        if self.n_data > 1:
+            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rows)
+        return rows[0]
 
     def __len__(self):
         return len(self._batches)
@@ -79,18 +106,21 @@ class ShardedPackedLoader(_ShardedLoaderBase):
 
     def _build(self, chunks, parts):
         # static capacities: the worst per-shard load over all minibatches
+        # and data groups (one compiled step serves every cell)
         vcap = ecap = gcap = 1
-        for part in parts:
-            for shard in part:
-                vcap = max(vcap, sum(r.n_nodes for r in shard))
-                ecap = max(ecap, sum(r.n_dir_edges for r in shard))
-                gcap = max(gcap, len(shard))
-        for chunk, part in zip(chunks, parts):
-            self._batches.append(spmd.make_packed_shards(
+        for grp in parts:
+            for part in grp:
+                for shard in part:
+                    vcap = max(vcap, sum(r.n_nodes for r in shard))
+                    ecap = max(ecap, sum(r.n_dir_edges for r in shard))
+                    gcap = max(gcap, len(shard))
+        for chunk, grp in zip(chunks, parts):
+            rows = [spmd.make_packed_shards(
                 chunk, self.n_shards, node_capacity=vcap,
                 edge_capacity=ecap, graphs_per_shard=gcap, task=self.task,
                 parts=part,
-            ))
+            ) for part in grp]
+            self._batches.append(self._stack_rows(rows))
         self.node_capacity, self.edge_capacity = vcap, ecap
         self.graphs_per_shard = gcap
 
@@ -103,20 +133,22 @@ class ShardedCCNLoader(_ShardedLoaderBase):
 
         k_max = max(r.max_degree() + 1 for r in self.records)
         vcap = gcap = 1
-        for part in parts:
-            for shard in part:
-                vcap = max(vcap, sum(r.n_nodes for r in shard))
-                gcap = max(gcap, len(shard))
-        for chunk, part in zip(chunks, parts):
-            self._batches.append(ccn_parallel.make_ccn_shards(
+        for grp in parts:
+            for part in grp:
+                for shard in part:
+                    vcap = max(vcap, sum(r.n_nodes for r in shard))
+                    gcap = max(gcap, len(shard))
+        for chunk, grp in zip(chunks, parts):
+            rows = [ccn_parallel.make_ccn_shards(
                 chunk, self.n_shards, k_max=k_max, vertex_capacity=vcap,
                 graphs_per_shard=gcap, task=self.task, parts=part,
-            ))
+            ) for part in grp]
+            self._batches.append(self._stack_rows(rows))
 
 
-def _local_metric_sums(out, local, kind, mean, std):
+def _local_metric_sums(out, local, kind, mean, std, axes=("edge",)):
     """Per-shard masked (loss_sum, metric_sum) + count, psum'd globally
-    over 'edge'. Shared by the packed and CCN step builders."""
+    over the given mesh axes. Shared by the packed and CCN step builders."""
     y, gmask = local.y, local.gmask
     if kind == "classification":
         per = optax.softmax_cross_entropy_with_integer_labels(out, y)
@@ -128,7 +160,7 @@ def _local_metric_sums(out, local, kind, mean, std):
         num = jnp.stack([((err**2) * gmask).sum(),
                          (jnp.abs(err) * gmask).sum()])
     den = gmask.sum()
-    num, den = jax.lax.psum((num, den), "edge")
+    num, den = jax.lax.psum((num, den), axes)
     return num, jnp.maximum(den, 1.0)
 
 
@@ -139,37 +171,49 @@ def _metric_names(num, den, kind):
 
 
 def make_sharded_step_fns(model, mesh: Mesh, tx, kind: str = "regression",
-                          mean: float = 0.0, std: float = 1.0):
+                          mean: float = 0.0, std: float = 1.0,
+                          axes: tuple = ("edge",)):
     """(train_step, eval_step) over stacked molecule-aligned shards.
+
+    axes: mesh axes the stacked batches' leading axes are sharded over —
+    ("edge",) for pure edge sharding over (S, ...) stacks, or
+    ("data", "edge") for the hybrid (M, N, ...) layout (cli --dp M
+    --edge_shards N). Loss/metric reductions and the model's BatchNorm
+    statistics (bn_axis=axes) psum over every listed axis, so the math is
+    identical to a single global batch regardless of the factorization.
 
     train_step(params, batch_stats, opt_state, stacked) ->
         (params, batch_stats, opt_state, metrics)
     eval_step(params, batch_stats, stacked) -> metrics (incl. 'count')
     """
+    lead = len(axes)
+    zero = (0,) * lead
+    one = (1,) * lead
+    spec = P(*axes)
 
     def local_metrics(out, local):
-        return _local_metric_sums(out, local, kind, mean, std)
+        return _local_metric_sums(out, local, kind, mean, std, axes)
 
     def local_train(variables, stacked):
-        local = jax.tree_util.tree_map(lambda v: v[0], stacked)
+        local = jax.tree_util.tree_map(lambda v: v[zero], stacked)
         out, upd = model.apply(variables, local, train=True,
                                mutable=["batch_stats"])
         num, den = local_metrics(out, local)
         loss = num[0] / den
-        return loss[None], (num[None], den[None],
-                            upd["batch_stats"])
+        return (loss.reshape(one), (num.reshape(one + num.shape),
+                                    den.reshape(one), upd["batch_stats"]))
 
     def local_eval(variables, stacked):
-        local = jax.tree_util.tree_map(lambda v: v[0], stacked)
+        local = jax.tree_util.tree_map(lambda v: v[zero], stacked)
         out = model.apply(variables, local, train=False)
         num, den = local_metrics(out, local)
-        return num[None], den[None]
+        return num.reshape(one + num.shape), den.reshape(one)
 
-    train_sm = shard_map(local_train, mesh=mesh, in_specs=(P(), P("edge")),
-                         out_specs=(P("edge"), (P("edge"), P("edge"), P())),
+    train_sm = shard_map(local_train, mesh=mesh, in_specs=(P(), spec),
+                         out_specs=(spec, (spec, spec, P())),
                          check_rep=False)
-    eval_sm = shard_map(local_eval, mesh=mesh, in_specs=(P(), P("edge")),
-                        out_specs=(P("edge"), P("edge")), check_rep=False)
+    eval_sm = shard_map(local_eval, mesh=mesh, in_specs=(P(), spec),
+                        out_specs=(spec, spec), check_rep=False)
 
     def names(num, den):
         return _metric_names(num, den, kind)
@@ -184,15 +228,15 @@ def make_sharded_step_fns(model, mesh: Mesh, tx, kind: str = "regression",
         grads, (num, den, new_stats) = jax.grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        mets = names(num[0], den[0])  # psum'd: every shard row identical
+        mets = names(num[zero], den[zero])  # psum'd: every cell identical
         return params, new_stats, opt_state, mets
 
     @jax.jit
     def eval_step(params, batch_stats, stacked):
         num, den = eval_sm({"params": params, "batch_stats": batch_stats},
                            stacked)
-        mets = names(num[0], den[0])
-        mets["count"] = den[0]
+        mets = names(num[zero], den[zero])
+        mets["count"] = den[zero]
         return mets
 
     return train_step, eval_step
@@ -200,27 +244,34 @@ def make_sharded_step_fns(model, mesh: Mesh, tx, kind: str = "regression",
 
 def make_ccn_sharded_step_fns(model, mesh: Mesh, tx,
                               kind: str = "regression",
-                              mean: float = 0.0, std: float = 1.0):
+                              mean: float = 0.0, std: float = 1.0,
+                              axes: tuple = ("edge",)):
     """(train_step, eval_step) over stacked vertex-sharded CCN batches.
     CCN models carry no batch statistics, so sharded execution is exactly
     single-chip math (chi gathers stay within a shard; only the loss and
-    metric reductions cross shards). Signatures mirror
-    make_sharded_step_fns (batch_stats is accepted and ignored)."""
+    metric reductions cross shards — over every axis in `axes` under the
+    hybrid layout). Signatures mirror make_sharded_step_fns (batch_stats
+    is accepted and ignored)."""
+    lead = len(axes)
+    zero = (0,) * lead
+    one = (1,) * lead
+    spec = P(*axes)
 
     def local_fwd(variables, stacked, train):
-        local = jax.tree_util.tree_map(lambda v: v[0], stacked)
+        local = jax.tree_util.tree_map(lambda v: v[zero], stacked)
         out = model.apply(variables, local, train=train)
-        num, den = _local_metric_sums(out, local, kind, mean, std)
+        num, den = _local_metric_sums(out, local, kind, mean, std, axes)
         loss = num[0] / den
-        return loss[None], (num[None], den[None])
+        return loss.reshape(one), (num.reshape(one + num.shape),
+                                   den.reshape(one))
 
     train_sm = shard_map(
         lambda v, s: local_fwd(v, s, True), mesh=mesh,
-        in_specs=(P(), P("edge")), out_specs=(P("edge"), (P("edge"), P("edge"))),
+        in_specs=(P(), spec), out_specs=(spec, (spec, spec)),
         check_rep=False)
     eval_sm = shard_map(
         lambda v, s: local_fwd(v, s, False), mesh=mesh,
-        in_specs=(P(), P("edge")), out_specs=(P("edge"), (P("edge"), P("edge"))),
+        in_specs=(P(), spec), out_specs=(spec, (spec, spec)),
         check_rep=False)
 
     def names(num, den):
@@ -235,13 +286,13 @@ def make_ccn_sharded_step_fns(model, mesh: Mesh, tx,
         grads, (num, den) = jax.grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, batch_stats, opt_state, names(num[0], den[0])
+        return params, batch_stats, opt_state, names(num[zero], den[zero])
 
     @jax.jit
     def eval_step(params, batch_stats, stacked):
         _, (num, den) = eval_sm({"params": params}, stacked)
-        mets = names(num[0], den[0])
-        mets["count"] = den[0]
+        mets = names(num[zero], den[zero])
+        mets["count"] = den[zero]
         return mets
 
     return train_step, eval_step
@@ -255,24 +306,33 @@ def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
     """Training run over graph-aligned shards (cfg.edge_shards devices).
 
     family: "packed" (molecule-aligned edge sharding, PackedGNN/PackedLGGNN
-    with bn_axis='edge') or "ccn" (vertex sharding, CCN1D/CCN2D).
+    with bn_axis='edge' — or bn_axis=('data','edge') under the hybrid) or
+    "ccn" (vertex sharding, CCN1D/CCN2D).
     splits: {"train": records, "valid": records, "test": records}.
+    cfg.dp > 1 composes batch-level data parallelism with the edge
+    sharding on one (data=dp, edge=edge_shards) mesh.
     Returns (variables, history) — same history schema as train.fit.
     """
     n_shards = cfg.edge_shards
-    if n_shards > len(jax.devices()):
+    n_data = max(cfg.dp, 1)
+    if n_data * n_shards > len(jax.devices()):
         raise ValueError(
-            f"edge_shards={n_shards} exceeds the {len(jax.devices())} "
-            "available devices"
+            f"dp={n_data} x edge_shards={n_shards} exceeds the "
+            f"{len(jax.devices())} available devices"
         )
-    mesh = Mesh(np.array(jax.devices()[:n_shards]).reshape(1, n_shards),
-                ("data", "edge"))
+    mesh = Mesh(
+        np.array(jax.devices()[: n_data * n_shards]).reshape(
+            n_data, n_shards
+        ),
+        ("data", "edge"),
+    )
+    axes = ("data", "edge") if n_data > 1 else ("edge",)
     task = cfg.data.task if kind == "regression" else None
     loader_cls = ShardedCCNLoader if family == "ccn" else ShardedPackedLoader
     loaders = {
         split: loader_cls(
             recs, cfg.batch_size, n_shards, task=task,
-            shuffle=(split == "train"), seed=cfg.seed,
+            shuffle=(split == "train"), seed=cfg.seed, n_data=n_data,
         ) if recs else None
         for split, recs in splits.items()
     }
@@ -280,7 +340,7 @@ def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
     tx = build_optimizer(cfg.optim, steps_per_epoch=len(train_loader))
 
     sample_local = jax.tree_util.tree_map(
-        lambda v: v[0], train_loader._batches[0])
+        lambda v: v[(0,) * len(axes)], train_loader._batches[0])
     # init outside the shard_map: packed models use the bn_axis-free twin
     # (identical params/stats structure); CCN models have no axis state
     init_model = model if family == "ccn" else model.clone(bn_axis=None)
@@ -316,10 +376,13 @@ def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
                 else make_sharded_step_fns)
     with GracefulShutdown() as shutdown, jax.sharding.set_mesh(mesh):
         train_step, eval_step = make_fns(
-            model, mesh, tx, kind=kind, mean=mean, std=std)
+            model, mesh, tx, kind=kind, mean=mean, std=std, axes=axes)
         history = []
-        log.info("edge-sharded training: %d shards, %d epochs x %d steps",
-                 n_shards, cfg.epochs, len(train_loader))
+        log.info(
+            "edge-sharded training: %s, %d epochs x %d steps",
+            (f"{n_data} dp x {n_shards} shards" if n_data > 1
+             else f"{n_shards} shards"),
+            cfg.epochs, len(train_loader))
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             device_mets = []

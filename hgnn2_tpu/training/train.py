@@ -129,23 +129,34 @@ def make_train_step(kind: str = "regression", mean: float = 0.0, std: float = 1.
 
 def make_scanned_epoch(kind: str = "regression", mean: float = 0.0,
                        std: float = 1.0):
-    """Returns run(state, stacked, order) -> (state, metric MEANS): a whole
-    same-shape batch group's optimizer steps inside ONE jitted lax.scan.
+    """Returns run(state, stacked, order) -> (state, metric SUMS weighted by
+    real-graph count, plus 'count'): a whole same-shape batch group's
+    optimizer steps inside ONE jitted lax.scan.
 
     On a remote-attached chip, per-step dispatch latency dominates
     sub-millisecond steps; scanning the epoch leaves only one dispatch per
     bucket group per epoch. `stacked` is a pytree of batches stacked on a
     new leading axis (device-resident, from CachedLoader); `order` is the
-    epoch's batch permutation, so shuffling costs one small transfer."""
+    epoch's batch permutation, so shuffling costs one small transfer.
+
+    Metrics are returned as count-weighted sums (count = real graphs per
+    batch) so a padded remainder batch with 3 real graphs does not weigh
+    as much as a full one — mirroring evaluate_scanned's 'count' logic.
+    Gradient steps are per-batch means either way (reference semantics)."""
 
     @jax.jit
     def run(state: TrainState, stacked, order):
         def body(s, i):
             batch = jax.tree_util.tree_map(lambda x: x[i], stacked)
-            return _train_body(s, batch, kind, mean, std)
+            s2, mets = _train_body(s, batch, kind, mean, std)
+            mets["count"] = _graph_mask(batch).sum()
+            return s2, mets
 
         state2, mets = jax.lax.scan(body, state, order)
-        return state2, jax.tree_util.tree_map(lambda m: m.mean(), mets)
+        count = mets.pop("count")
+        sums = jax.tree_util.tree_map(lambda m: (m * count).sum(), mets)
+        sums["count"] = count.sum()
+        return state2, sums
 
     return run
 
@@ -180,9 +191,15 @@ def make_eval_step(kind: str = "regression", mean: float = 0.0, std: float = 1.0
     return step
 
 
-def group_stacked_batches(batches):
+def group_stacked_batches(batches, mesh=None):
     """Group same-shape batches (bucket groups) and stack each group on a
     new leading axis, device-resident, in first-appearance order.
+
+    mesh: when given, each stacked array is laid out with its BATCH axis
+    (axis 1 — every batch leaf leads with the batch dimension) sharded
+    over the mesh's 'data' axis, so a scanned epoch keeps exactly the
+    per-step DP sharding: lax.scan's index-select propagates the
+    (None, 'data', ...) spec to each step's batch.
 
     Ordering semantics: the scanned sequence runs each group contiguously,
     so it reproduces the loader's exact order only when same-shape batches
@@ -197,10 +214,18 @@ def group_stacked_batches(batches):
             for leaf in jax.tree_util.tree_leaves(b)
         )
         groups.setdefault(key, []).append(b)
-    return [
-        jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *g)
-        for g in groups.values()
-    ]
+
+    def stack(*xs):
+        out = jnp.stack(xs)
+        if mesh is not None and out.ndim >= 2:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            out = jax.device_put(
+                out, NamedSharding(mesh, P(None, "data"))
+            )
+        return out
+
+    return [jax.tree_util.tree_map(stack, *g) for g in groups.values()]
 
 
 def run_epoch_scanned(state, groups, scan_fn, rng=None):
@@ -209,9 +234,13 @@ def run_epoch_scanned(state, groups, scan_fn, rng=None):
     per step. rng (numpy Generator) shuffles batch order within each group
     AND the group execution order, so no bucket is systematically trained
     last epoch after epoch; rng=None keeps first-appearance group order
-    with identity permutations (deterministic)."""
+    with identity permutations (deterministic).
+
+    Epoch metrics are means weighted by real-graph count (the scanned fns
+    return count-weighted sums), matching evaluate()'s weighting — a padded
+    remainder batch contributes proportionally to its real graphs."""
     sums: dict = {}
-    total = 0
+    total = None
     group_order = np.arange(len(groups))
     if rng is not None:
         rng.shuffle(group_order)
@@ -220,10 +249,12 @@ def run_epoch_scanned(state, groups, scan_fn, rng=None):
         n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
         order = np.arange(n) if rng is None else rng.permutation(n)
         state, mets = scan_fn(state, stacked, jnp.asarray(order))
-        total += n
+        count = mets.pop("count")
+        total = count if total is None else total + count
         for k, v in mets.items():
-            sums[k] = sums.get(k, 0.0) + v * n
-    return state, {k: float(v) / max(total, 1) for k, v in sums.items()}
+            sums[k] = sums.get(k, 0.0) + v
+    denom = max(float(total), 1.0) if total is not None else 1.0
+    return state, {k: float(v) / denom for k, v in sums.items()}
 
 
 def make_scanned_eval(kind: str = "regression", mean: float = 0.0,
@@ -265,15 +296,23 @@ def evaluate_scanned(state, groups, scan_eval_fn):
 def run_epoch(state, loader, step_fn, prefetch_size: int = 2):
     """One training epoch. Metrics stay on device until the epoch ends —
     a float() per step would force a host sync that serializes dispatch
-    (costly over high-latency device links); one block per epoch instead."""
+    (costly over high-latency device links); one block per epoch instead.
+
+    Epoch metrics are weighted by each batch's real-graph count (same
+    semantics as run_epoch_scanned and evaluate): a padded remainder batch
+    counts only its real graphs. The counts stay on device too."""
     device_mets: list = []
+    device_counts: list = []
     for batch in prefetch(loader, size=prefetch_size):
         state, mets = step_fn(state, batch)
         device_mets.append(mets)
+        device_counts.append(_graph_mask(batch).sum())
     if not device_mets:
         return state, {}
+    counts = jnp.stack(device_counts)
+    total = jnp.maximum(counts.sum(), 1.0)
     stacked = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs).mean(), *device_mets
+        lambda *xs: (jnp.stack(xs) * counts).sum() / total, *device_mets
     )
     return state, {k: float(v) for k, v in stacked.items()}
 
@@ -336,8 +375,8 @@ def fit(
     log = logging.getLogger("hgnn2_tpu")
 
     # scanned-epoch fast path: whole bucket groups of steps in one program
-    # (cached device-resident batches, single-device; a mesh keeps the
-    # per-step path so batch sharding stays visible to XLA per dispatch)
+    # (cached device-resident batches; under a mesh the stacks keep the
+    # batch axis sharded over 'data', so scanned DP == stepwise DP)
     scan_groups = scan_fn = None
     # order-level shuffling moves into the scan's permutation; honor the
     # cached loader's shuffle setting (off -> deterministic batch order)
@@ -345,21 +384,27 @@ def fit(
                    if getattr(train_loader, "shuffle", True) else None)
     eval_groups: dict = {}
     scan_eval_fn = None
-    if (getattr(cfg, "scan_epochs", False) and mesh is None
-            and hasattr(train_loader, "materialize")):
+
+    def build_train_groups():
         train_loader.materialize()
-        if train_loader._batches:
-            scan_groups = group_stacked_batches(train_loader._batches)
+        g = (group_stacked_batches(train_loader._batches, mesh)
+             if train_loader._batches else None)
+        if hasattr(train_loader, "release"):
+            train_loader.release()  # the stacks replace the per-batch cache
+        return g
+
+    if (getattr(cfg, "scan_epochs", False)
+            and hasattr(train_loader, "materialize")):
+        scan_groups = build_train_groups()
+        if scan_groups:
             scan_fn = make_scanned_epoch(kind, mean, std)
             scan_eval_fn = make_scanned_eval(kind, mean, std)
-            if hasattr(train_loader, "release"):
-                train_loader.release()  # the stacks replace the per-batch cache
             for split, loader in eval_loaders.items():
                 if loader is not None and hasattr(loader, "materialize"):
                     loader.materialize()
                     if loader._batches:
                         eval_groups[split] = group_stacked_batches(
-                            loader._batches)
+                            loader._batches, mesh)
                         if hasattr(loader, "release"):
                             loader.release()
             log.info("scanned epochs: %d bucket group(s)", len(scan_groups))
@@ -373,6 +418,13 @@ def fit(
             if cfg.optim.reset_each_epoch:
                 state = state.replace(opt_state=state.tx.init(state.params))
             if scan_groups is not None:
+                # periodic re-deal: rebuild + restack when the cached
+                # loader says a fresh batch composition is due
+                if (getattr(train_loader, "redeal_every", 0)
+                        and train_loader.maybe_redeal()):
+                    scan_groups = build_train_groups()
+                    log.info("epoch %d: re-dealt batches into %d bucket "
+                             "group(s)", epoch + 1, len(scan_groups))
                 state, train_m = run_epoch_scanned(
                     state, scan_groups, scan_fn, shuffle_rng)
             else:

@@ -1,13 +1,24 @@
 #!/usr/bin/env python
-"""Multi-host dry run: N real OS processes, one global mesh, DP training.
+"""Multi-host dry run: N real OS processes, one global mesh, BOTH
+shipped training modes.
 
 Parent mode (default) picks a free port and launches N child processes;
 each child gets 4 virtual CPU devices, joins the distributed runtime via
-hgnn2_tpu.parallel.multihost.setup_distributed, shards the dataset
-per-process, and runs jitted LGGNN train steps over the GLOBAL
-('data',) mesh — gradients cross process boundaries through XLA
-collectives exactly as they would cross DCN on a real multi-host slice.
-The parent asserts every process reports the same finite loss.
+hgnn2_tpu.parallel.multihost.setup_distributed, and runs:
+
+  1. DP training: per-process record shards, jitted LGGNN train steps over
+     the GLOBAL ('data',) mesh — gradients cross process boundaries
+     through XLA collectives exactly as they would cross DCN on a real
+     multi-host slice.
+  2. Molecule-aligned edge-sharded training (the headline >=99.9%-scaling
+     mode, cli --edge_shards): the global batch is partitioned into one
+     shard per GLOBAL device, each process feeds its local shard rows via
+     make_array_from_process_local_data, and full PackedLGGNN train steps
+     run under shard_map over the global ('edge',) mesh — BN statistics
+     and loss psums cross the process boundary.
+
+The parent asserts every process reports the same finite loss for each
+phase.
 
   python scripts/dryrun_multihost.py [--processes 2] [--steps 2]
 """
@@ -83,6 +94,55 @@ def child(args):
         params, bstats, opt_state, loss = step(params, bstats, opt_state, gbatch)
     print(f"MHLOSS proc={args.child} loss={float(loss):.6f}", flush=True)
 
+    # --- phase 2: molecule-aligned edge-sharded PackedLGGNN training over
+    # the global ('edge',) mesh — the headline sharding mode across real
+    # processes (BN-stat + loss psums ride the process boundary)
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hgnn2_tpu.nn import packed
+    from hgnn2_tpu.parallel import spmd
+    from hgnn2_tpu.training import sharded as sharded_lib
+
+    n_global = jax.device_count()
+    emesh = multihost.global_mesh(("edge",))
+    recs2 = qm9.synthetic_qm9_like(8 * n_global, seed=1)
+    # every process computes the SAME global partition deterministically,
+    # then feeds only its local devices' shard rows
+    parts = spmd.partition_records(recs2, n_global)
+    vcap = max(sum(r.n_nodes for r in s) for s in parts)
+    ecap = max(sum(r.n_dir_edges for r in s) for s in parts)
+    gcap = max(len(s) for s in parts)
+    stacked_all = spmd.make_packed_shards(
+        recs2, n_global, node_capacity=vcap, edge_capacity=ecap,
+        graphs_per_shard=gcap, task=0, parts=parts)
+    lo = args.child * args.local_devices
+    hi = lo + args.local_devices
+    esharding = NamedSharding(emesh, P("edge"))
+    stacked = jax.tree_util.tree_map(
+        lambda v: jax.make_array_from_process_local_data(
+            esharding, np.asarray(v)[lo:hi]),
+        stacked_all,
+    )
+
+    pmodel = packed.PackedLGGNN(n_features=2, n_layers=3, J=1, order=2,
+                                bn_axis="edge")
+    sample_local = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(np.asarray(v)[0]), stacked_all)
+    evars = pmodel.clone(bn_axis=None).init(
+        jax.random.key(1), sample_local, train=True)
+    eparams = multihost.replicate_to_mesh(emesh, evars["params"])
+    ebstats = multihost.replicate_to_mesh(emesh, evars["batch_stats"])
+    etx = optax.sgd(1e-5)
+    eopt = multihost.replicate_to_mesh(emesh, etx.init(evars["params"]))
+    etrain, _ = sharded_lib.make_sharded_step_fns(
+        pmodel, emesh, etx, kind="regression", mean=0.0, std=1.0)
+    eloss = None
+    for _ in range(args.steps):
+        eparams, ebstats, eopt, emets = etrain(eparams, ebstats, eopt, stacked)
+        eloss = emets["loss"]
+    print(f"MHESLOSS proc={args.child} loss={float(eloss):.6f}", flush=True)
+
 
 def parent(args):
     with socket.socket() as s:
@@ -100,20 +160,23 @@ def parent(args):
             cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True,
         ))
-    losses = []
+    losses = {"MHLOSS": [], "MHESLOSS": []}
     for pid, p in enumerate(procs):
         out, err = p.communicate(timeout=300)
         if p.returncode != 0:
             sys.stderr.write(err[-4000:])
             raise SystemExit(f"child {pid} failed rc={p.returncode}")
         for line in out.splitlines():
-            if line.startswith("MHLOSS"):
-                losses.append(float(line.split("loss=")[1]))
+            key = line.split(" ")[0]
+            if key in losses:
+                losses[key].append(float(line.split("loss=")[1]))
                 print(line)
-    assert len(losses) == args.processes, losses
-    assert all(abs(v - losses[0]) < 1e-6 for v in losses), losses
+    for key, vals in losses.items():
+        assert len(vals) == args.processes, (key, vals)
+        assert all(abs(v - vals[0]) < 1e-6 for v in vals), (key, vals)
     print(f"dryrun_multihost ok: {args.processes} processes x "
-          f"{args.local_devices} devices, loss={losses[0]:.6f}")
+          f"{args.local_devices} devices, dp_loss={losses['MHLOSS'][0]:.6f} "
+          f"edge_sharded_loss={losses['MHESLOSS'][0]:.6f}")
 
 
 def main():

@@ -135,6 +135,50 @@ def test_halo_full_lggnn_matches_single_chip(mesh, rng):
     assert rel < 1e-3, rel
 
 
+def test_halo_full_packed_gnn_matches_single_chip(mesh, rng):
+    """halo_packed_loss also serves PackedGNN (ops bundle -> graph_op):
+    loss + gradients agree with single-chip execution."""
+    from hgnn2_tpu import graphs
+    from hgnn2_tpu.nn import packed
+
+    S = mesh.shape["edge"]
+    rec = _locality_record(rng, V=64)
+    pb = graphs.make_packed_batch([rec], task=0)
+    mean, std = 0.5, 2.0
+
+    model_single = packed.PackedGNN(n_features=2, n_layers=3, J=1)
+    variables = model_single.init(jax.random.key(0), pb, train=True)
+
+    def loss_single(params):
+        out, _ = model_single.apply(
+            {**variables, "params": params}, pb, train=True,
+            mutable=["batch_stats"],
+        )
+        t = (pb.y - mean) / (std + 1e-8)
+        per = (out[:, 0] - t) ** 2
+        return (per * pb.gmask).sum() / jnp.maximum(pb.gmask.sum(), 1.0)
+
+    l1, g1 = jax.value_and_grad(loss_single)(variables["params"])
+
+    model_halo = packed.PackedGNN(n_features=2, n_layers=3, J=1,
+                                  bn_axis="edge")
+    bundle = halo.build_halo_lg_bundle(pb, S)
+    with jax.sharding.set_mesh(mesh):
+        loss_fn = halo.halo_packed_loss(model_halo, mesh, bundle,
+                                        mean=mean, std=std)
+        l2, g2 = jax.jit(jax.value_and_grad(
+            lambda p: loss_fn({**variables, "params": p})
+        ))(variables["params"])
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    v1 = np.concatenate([np.asarray(l).ravel()
+                         for l in jax.tree_util.tree_leaves(g1)])
+    v2 = np.concatenate([np.asarray(l).ravel()
+                         for l in jax.tree_util.tree_leaves(g2)])
+    rel = np.linalg.norm(v1 - v2) / max(np.linalg.norm(v1), 1e-12)
+    assert rel < 1e-3, rel
+
+
 def test_halo_lggnn_comm_far_below_psum_path(mesh, rng):
     """On a locality-friendly giant graph, the halo LGGNN's comm volume is
     a small fraction of the psum-replicated path's (V, F) all-reduces."""

@@ -1,11 +1,13 @@
 """Multi-host path: N real OS processes over one global mesh.
 
 Launches scripts/dryrun_multihost.py, which spawns 2 child processes with
-4 virtual CPU devices each; the children join one JAX distributed runtime,
-shard the dataset per process, and run jitted DP train steps over the
-global ('data',) mesh — the collectives cross the process boundary the way
-they would cross DCN on a real multi-host slice. The parent asserts both
-processes compute identical finite losses (replicated state stays in sync).
+4 virtual CPU devices each; the children join one JAX distributed runtime
+and run BOTH shipped training modes — jitted DP train steps over the
+global ('data',) mesh, and molecule-aligned edge-sharded PackedLGGNN
+train steps over the global ('edge',) mesh — with the collectives crossing
+the process boundary the way they would cross DCN on a real multi-host
+slice. The parent asserts both processes compute identical finite losses
+in each phase (replicated state stays in sync).
 """
 
 import os
@@ -15,7 +17,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_two_process_dp_training():
+def test_two_process_dp_and_edge_sharded_training():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "dryrun_multihost.py"),
          "--processes", "2", "--steps", "2"],
@@ -23,3 +25,4 @@ def test_two_process_dp_training():
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "dryrun_multihost ok: 2 processes" in proc.stdout, proc.stdout
+    assert "edge_sharded_loss=" in proc.stdout, proc.stdout

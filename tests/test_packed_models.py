@@ -79,3 +79,43 @@ def test_packed_lggnn_matches_dense(rng, order):
     np.testing.assert_allclose(
         np.asarray(out_packed), np.asarray(out_dense), atol=2e-4
     )
+
+
+def test_packed_cli_training_runs(tmp_path):
+    """--packed trains PackedGNN/PackedLGGNN through the shipped trainer
+    (PackedLoader + CachedLoader + scanned epochs) to finite losses."""
+    import numpy as np
+
+    from hgnn2_tpu.cli import common
+    from hgnn2_tpu.training.config import TrainConfig
+
+    for arch in ("gnn", "lggnn"):
+        cfg = TrainConfig(batch_size=16, epochs=2,
+                          log_path=str(tmp_path / f"packed_{arch}"))
+        cfg.model.arch = arch
+        cfg.model.packed = True
+        cfg.model.n_layers = 3
+        cfg.model.n_features = 2
+        cfg.model.order = 2
+        cfg.data.dataset = "qm9_synthetic"
+        cfg.data.n_synthetic = 48
+        _, history = common.run_experiment(cfg)
+        assert len(history) == 2
+        assert all(np.isfinite(h["train_loss"]) for h in history)
+        assert history[1]["train_loss"] < history[0]["train_loss"] * 1.5
+
+
+def test_packed_rejects_dp(tmp_path):
+    import pytest
+
+    from hgnn2_tpu.cli import common
+    from hgnn2_tpu.training.config import TrainConfig
+
+    cfg = TrainConfig(batch_size=16, epochs=1, dp=8,
+                      log_path=str(tmp_path / "x"))
+    cfg.model.arch = "gnn"
+    cfg.model.packed = True
+    cfg.data.dataset = "qm9_synthetic"
+    cfg.data.n_synthetic = 32
+    with pytest.raises(ValueError, match="edge_shards"):
+        common.run_experiment(cfg)

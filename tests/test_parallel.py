@@ -118,6 +118,97 @@ def test_cli_edge_sharded_trainer_shard_count_invariant(tmp_path):
     assert np.isfinite(hg[-1]["train_loss"])
 
 
+def test_cli_hybrid_dp_x_edge_shards_matches_single_device(tmp_path):
+    """--dp M --edge_shards N compose on one (data=M, edge=N) mesh: the
+    hybrid trajectory matches BOTH the pure edge-sharded run and a true
+    single-device (1x1 mesh) run of the same packed trainer — the loss is
+    the global batch mean and BN statistics psum over both axes, so the
+    math is factorization-independent."""
+    from hgnn2_tpu.cli import common
+    from hgnn2_tpu.training.config import TrainConfig
+
+    def run(dp, es, tag, arch="lggnn"):
+        cfg = TrainConfig(batch_size=16, epochs=2, dp=dp, edge_shards=es,
+                          log_path=str(tmp_path / tag))
+        cfg.model.arch = arch
+        cfg.model.n_layers = 3
+        cfg.model.n_features = 2
+        cfg.model.order = 2
+        cfg.optim.optim = "sgd"
+        cfg.optim.lr = 1e-5
+        cfg.optim.momentum = 0.0
+        cfg.data.dataset = "qm9_synthetic"
+        cfg.data.n_synthetic = 48
+        _, history = common.run_experiment(cfg)
+        return history
+
+    h_hybrid = run(2, 4, "h24")   # 8 devices as (data=2, edge=4)
+    h_edge = run(1, 4, "e4")      # pure edge sharding, 4 devices
+    assert len(h_hybrid) == len(h_edge) == 2
+    for a, b in zip(h_hybrid, h_edge):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                                   rtol=5e-3)
+        np.testing.assert_allclose(a["valid_mae"], b["valid_mae"], rtol=5e-3)
+
+    # true single-device trajectory through the same engine: a (1,1) mesh
+    from hgnn2_tpu.cli.common import build_packed_model, load_records
+    from hgnn2_tpu.data import synthetic as synth_lib
+    from hgnn2_tpu.training import sharded as sharded_lib
+
+    cfg1 = TrainConfig(batch_size=16, epochs=2, dp=1, edge_shards=1,
+                       log_path=str(tmp_path / "single"))
+    cfg1.model.arch = "lggnn"
+    cfg1.model.n_layers = 3
+    cfg1.model.n_features = 2
+    cfg1.model.order = 2
+    cfg1.optim.optim = "sgd"
+    cfg1.optim.lr = 1e-5
+    cfg1.optim.momentum = 0.0
+    cfg1.data.dataset = "qm9_synthetic"
+    cfg1.data.n_synthetic = 48
+    records, kind, tstats, _ = load_records(cfg1)
+    tr, va, te = synth_lib.split_80_10_10(records)
+    mean = float(tstats.mean[0])
+    std = float(tstats.std[0])
+    model1 = build_packed_model(cfg1, kind, bn_axis="edge")
+    _, h_single = sharded_lib.fit_sharded(
+        model1, cfg1, {"train": tr, "valid": va, "test": te},
+        kind=kind, mean=mean, std=std,
+    )
+    for a, b in zip(h_hybrid, h_single):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                                   rtol=5e-3)
+        np.testing.assert_allclose(a["valid_mae"], b["valid_mae"], rtol=5e-3)
+
+
+def test_cli_hybrid_ccn_vertex_sharding(tmp_path):
+    """The hybrid (data x edge) mesh also drives vertex-sharded CCN: exact
+    single-chip math, so (2 dp x 2 shards) == (1 x 4 shards) tightly."""
+    from hgnn2_tpu.cli import common
+    from hgnn2_tpu.training.config import TrainConfig
+
+    def run(dp, es, tag):
+        cfg = TrainConfig(batch_size=16, epochs=2, dp=dp, edge_shards=es,
+                          log_path=str(tmp_path / tag))
+        cfg.model.arch = "ccn1d"
+        cfg.model.n_layers = 2
+        cfg.model.n_features = 3
+        cfg.optim.optim = "sgd"
+        cfg.optim.lr = 1e-4
+        cfg.optim.momentum = 0.0
+        cfg.data.dataset = "qm9_synthetic"
+        cfg.data.n_synthetic = 48
+        _, history = common.run_experiment(cfg)
+        return history
+
+    h_hybrid = run(2, 2, "ch22")
+    h_flat = run(1, 4, "cf4")
+    for a, b in zip(h_hybrid, h_flat):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(a["valid_mae"], b["valid_mae"], rtol=1e-4)
+
+
 def test_cli_ccn_vertex_sharded_trainer(tmp_path):
     """--edge_shards on a CCN arch routes to vertex sharding: exact
     single-chip math (no BN), so 2 and 4 shards agree tightly."""
@@ -144,6 +235,73 @@ def test_cli_ccn_vertex_sharded_trainer(tmp_path):
         np.testing.assert_allclose(a["train_loss"], b["train_loss"],
                                    rtol=1e-4)
         np.testing.assert_allclose(a["valid_mae"], b["valid_mae"], rtol=1e-4)
+
+
+def test_cli_dp_scanned_equals_stepwise_and_single_device(tmp_path):
+    """Scanned epochs now compose with a DP mesh (the stacks keep the
+    batch axis sharded over 'data'): scanned-DP == stepwise-DP ==
+    single-device, epoch for epoch."""
+    from hgnn2_tpu.cli import common
+    from hgnn2_tpu.training.config import TrainConfig
+
+    def run(dp, scan, tag):
+        cfg = TrainConfig(batch_size=16, epochs=2, dp=dp, scan_epochs=scan,
+                          log_path=str(tmp_path / tag))
+        cfg.model.arch = "gnn"
+        cfg.model.n_layers = 3
+        cfg.model.n_features = 2
+        cfg.optim.optim = "sgd"
+        cfg.optim.lr = 1e-2
+        cfg.optim.momentum = 0.0
+        cfg.data.dataset = "qm9_synthetic"
+        cfg.data.n_synthetic = 64
+        _, history = common.run_experiment(cfg)
+        return history
+
+    h_scan_dp = run(8, True, "scandp")
+    h_step_dp = run(8, False, "stepdp")
+    h_single = run(1, True, "single")
+    assert len(h_scan_dp) == 2
+    for a, b, c in zip(h_scan_dp, h_step_dp, h_single):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(a["train_loss"], c["train_loss"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(a["valid_mae"], b["valid_mae"], rtol=1e-4)
+        np.testing.assert_allclose(a["valid_mae"], c["valid_mae"], rtol=1e-4)
+
+
+def test_cached_loader_redeal(tmp_path):
+    """redeal_every rebuilds batch composition from the inner loader every
+    K iterations; without it composition is frozen."""
+    from hgnn2_tpu.data import batching, qm9
+
+    recs = qm9.synthetic_qm9_like(64, seed=11)
+    inner = batching.DenseLoader(recs, 16, task=0, shuffle=True, seed=3)
+    loader = batching.CachedLoader(inner, shuffle=False, redeal_every=2)
+
+    def epoch_sig():
+        return [np.asarray(b.y).tobytes() for b in loader]
+
+    e0, e1, e2 = epoch_sig(), epoch_sig(), epoch_sig()
+    assert e0 == e1          # epochs 0-1: same deal
+    assert e0 != e2          # epoch 2: re-dealt (inner shuffle advanced)
+
+    # the shipped trainer path: redeal under scanned epochs stays finite
+    from hgnn2_tpu.cli import common
+    from hgnn2_tpu.training.config import TrainConfig
+
+    cfg = TrainConfig(batch_size=16, epochs=3,
+                      log_path=str(tmp_path / "redeal"))
+    cfg.data.dataset = "qm9_synthetic"
+    cfg.data.n_synthetic = 48
+    cfg.data.redeal_every = 2
+    cfg.model.arch = "gnn"
+    cfg.model.n_layers = 2
+    cfg.model.n_features = 2
+    _, history = common.run_experiment(cfg)
+    assert len(history) == 3
+    assert all(np.isfinite(h["train_loss"]) for h in history)
 
 
 def test_cli_dp_rejects_indivisible_batch(tmp_path):

@@ -142,6 +142,51 @@ def test_scanned_epoch_matches_stepwise():
                                    atol=1e-8)
 
 
+def test_scanned_epoch_metrics_weighted_by_graph_count():
+    """Epoch metrics from the scanned path weight each batch by its REAL
+    graph count, so a padded remainder batch (here 4 real graphs vs 16)
+    contributes proportionally — matching a manual weighted computation
+    from per-batch stepwise metrics."""
+    recs = qm9.synthetic_qm9_like(36, seed=7)  # 36 = 2*16 + ragged 4
+    loader = batching.CachedLoader(
+        batching.DenseLoader(recs, 16, task=0, sort=True, shuffle=False),
+        shuffle=False,
+    )
+    loader.materialize()
+    model = models.GNNSimple(n_features=2, n_layers=3, dim_output=1)
+    from hgnn2_tpu.training.optim import build_optimizer
+
+    tx = build_optimizer(OptimConfig(optim="sgd", lr=1e-4, momentum=0.0),
+                         steps_per_epoch=len(loader))
+    sample = next(iter(loader))
+    state0 = train_lib.TrainState.create(model, sample, tx, jax.random.key(0))
+
+    # manual weighted reference: per-batch stepwise metrics x real counts
+    step = train_lib.make_train_step("regression", 1.0, 2.0)
+    s = state0
+    w_sum = {}
+    total = 0.0
+    for batch in loader:
+        n_real = float(np.asarray(batch.gmask).sum()) if hasattr(
+            batch, "gmask") else float(np.asarray(batch.n_nodes > 0).sum())
+        s, mets = step(s, batch)
+        total += n_real
+        for k, v in mets.items():
+            w_sum[k] = w_sum.get(k, 0.0) + float(v) * n_real
+    want = {k: v / total for k, v in w_sum.items()}
+    assert total == 36.0
+
+    groups = train_lib.group_stacked_batches(loader._batches)
+    scan_fn = train_lib.make_scanned_epoch("regression", 1.0, 2.0)
+    s2, m2 = train_lib.run_epoch_scanned(state0, groups, scan_fn, rng=None)
+    for k, v in want.items():
+        np.testing.assert_allclose(m2[k], v, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-8)
+
+
 def test_fit_scanned_equals_stepwise_epochs():
     """fit() with scan_epochs on and off produces matching trajectories
     when shuffling is deterministic-off."""
