@@ -40,14 +40,20 @@ def cls_cfg(arch, order=1, epochs=40):
     return cfg
 
 
-def reg_cfg(arch, epochs=40):
-    cfg = TrainConfig(batch_size=32, epochs=epochs)
-    cfg.optim.lr = 1e-3
+def reg_cfg(arch, h, L, lr=1e-3, epochs=120, n=8000, bs=64, order=2):
+    """Configs sized to approach the achievable floor
+    (runs/validation_reg_floor/floor.json; scripts/regression_floor.py):
+    probe sweeps showed 8k molecules + wide models close most of the
+    generalization gap, and 32k adds nothing — the residual val error is
+    the nonlinear-counting gap (double-bond thresholds), not sample size."""
+    cfg = TrainConfig(batch_size=bs, epochs=epochs)
+    cfg.optim.lr = lr
     cfg.model.arch = arch
-    cfg.model.n_features = 6
-    cfg.model.n_layers = 3
+    cfg.model.n_features = h
+    cfg.model.n_layers = L
+    cfg.model.order = order
     cfg.data.dataset = "qm9_synthetic"
-    cfg.data.n_synthetic = 2000
+    cfg.data.n_synthetic = n
     return cfg
 
 
@@ -55,8 +61,10 @@ RUNS = {
     "validation_cls_gnn": lambda: cls_cfg("gnn"),
     "validation_cls_lggnn": lambda: cls_cfg("lggnn", order=2),
     "validation_cls_ccn1d": lambda: cls_cfg("ccn1d"),
-    "validation_reg_gnn": lambda: reg_cfg("gnn"),
-    "validation_reg_ccn2d": lambda: reg_cfg("ccn2d"),
+    "validation_reg_gnn": lambda: reg_cfg("gnn", h=64, L=5),
+    "validation_reg_lggnn": lambda: reg_cfg("lggnn", h=32, L=4),
+    "validation_reg_ccn2d": lambda: reg_cfg(
+        "ccn2d", h=16, L=3, lr=3e-3, epochs=200, n=2000, bs=32),
 }
 
 
@@ -65,6 +73,15 @@ def main():
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
     names = args.only or list(RUNS)
+    if args.only is None:
+        # regression floors for both dataset sizes used below
+        import subprocess
+        here = os.path.dirname(os.path.abspath(__file__))
+        for n, out in ((2000, "runs/validation_reg_floor"),
+                       (8000, "runs/validation_reg_floor_8000")):
+            subprocess.run(
+                [sys.executable, os.path.join(here, "regression_floor.py"),
+                 "--n", str(n), "--out", out], check=True)
     for name in names:
         cfg = RUNS[name]()
         cfg.log_path = os.path.join("runs", name)
