@@ -41,13 +41,18 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_family(name, model, records, ts, bs, with_lg, epochs):
-    loader = batching.CachedLoader(
-        batching.DenseLoader(
+def run_family(name, model, records, ts, bs, with_lg, epochs,
+               layout="dense"):
+    if layout == "packed":
+        inner = batching.PackedLoader(
+            records, batch_size=bs, task=0, sort=True, shuffle=False,
+        )
+    else:
+        inner = batching.DenseLoader(
             records, batch_size=bs, task=0, with_line_graph=with_lg,
             sort=True, shuffle=False,
         )
-    )
+    loader = batching.CachedLoader(inner)
     t0 = time.time()
     loader.materialize()
     build_s = time.time() - t0
@@ -150,6 +155,32 @@ def main():
     )
     out["lggnn_L5"]["scanned_vs_reference_epoch"] = (
         REF_LGGNN_EPOCH_S * (n / 107108.0) / out["lggnn_L5"]["scanned_epoch_s"]
+    )
+
+    # packed segment-sum layout (--packed): at h=1 operator applications
+    # read int32 indices instead of one-hot scatter matrices — the
+    # bandwidth-right layout for the flagship shapes
+    from hgnn2_tpu.nn import packed as packed_mod
+
+    out["gnn_L15_packed"] = run_family(
+        "gnn L15 packed",
+        packed_mod.PackedGNN(n_features=1, n_layers=15, J=1),
+        records, ts, args.batch_size, with_lg=False, epochs=args.epochs,
+        layout="packed",
+    )
+    out["gnn_L15_packed"]["scanned_vs_reference_epoch"] = (
+        REF_GNN_EPOCH_S * (n / 107108.0)
+        / out["gnn_L15_packed"]["scanned_epoch_s"]
+    )
+    out["lggnn_L5_packed"] = run_family(
+        "lggnn L5 packed",
+        packed_mod.PackedLGGNN(n_features=1, n_layers=5, J=1, order=2),
+        records, ts, args.batch_size, with_lg=True, epochs=args.epochs,
+        layout="packed",
+    )
+    out["lggnn_L5_packed"]["scanned_vs_reference_epoch"] = (
+        REF_LGGNN_EPOCH_S * (n / 107108.0)
+        / out["lggnn_L5_packed"]["scanned_epoch_s"]
     )
 
     details = {}

@@ -149,10 +149,14 @@ def main():
             base_mol, t1_mol = eps, timing.per_step_s
         # exact comm arithmetic: per BN train call, psum of count (1) +
         # sum (2H) + sq (2H) floats; 2 BNs per non-final layer; loss: 2
-        # scalars. Backward transposes each psum -> x2.
+        # scalars. Backward transposes each psum -> x2. Plus ONE gradient
+        # all-reduce of the replicated params per step (these models are
+        # KB-sized, but the accounting is exact).
+        n_params = int(sum(np.prod(l.shape) for l in
+                           jax.tree_util.tree_leaves(params)))
         ring = 2.0 * (d - 1) / d
         fwd_floats = 2 * (L - 1) * (4 * H + 1) + 2
-        comm = 2 * ring * fwd_floats * 4
+        comm = 2 * ring * fwd_floats * 4 + ring * 4 * n_params
         mode_a[d] = {
             "edges_per_s": eps,
             "efficiency_vs_linear": eps / (d * base_mol),
@@ -161,6 +165,62 @@ def main():
         log(f"  {d} devices: {eps:,.0f} edges/s, eff "
             f"{mode_a[d]['efficiency_vs_linear']:.2%}, {comm:,.0f} B/step")
     results["lggnn"]["molecule_aligned"] = {"devices": mode_a}
+
+    # === (a2) HYBRID: dp x molecule-aligned shards on ONE mesh ==========
+    # (cli --dp M --edge_shards N; training/sharded.py axes-parametric
+    # step fns). Comm = the SAME BN-stat/loss psums and gradient
+    # all-reduce, now ringed over all M*N devices — the composition adds
+    # no new collective classes, which is the point.
+    from hgnn2_tpu.training import sharded as sharded_lib
+    import time as _time
+
+    log("LGGNN train step, HYBRID dp x edge shards:")
+    mode_h = {}
+    for d in counts:
+        if d < 4 or d % 2:
+            continue
+        n_dp, n_es = 2, d // 2
+        mesh = Mesh(np.array(jax.devices()[:d]).reshape(n_dp, n_es),
+                    ("data", "edge"))
+        loader = sharded_lib.ShardedPackedLoader(
+            records, batch_size=len(records), n_shards=n_es, task=0,
+            n_data=n_dp)
+        stacked = loader._batches[0]
+        model = packed.PackedLGGNN(n_features=H, n_layers=L, J=1, order=2,
+                                   bn_axis=("data", "edge"))
+        init_model = packed.PackedLGGNN(n_features=H, n_layers=L, J=1,
+                                        order=2)
+        with jax.sharding.set_mesh(mesh):
+            local0 = jax.tree_util.tree_map(lambda v: v[(0, 0)], stacked)
+            variables = init_model.init(jax.random.key(0), local0,
+                                        train=True)
+            params = variables["params"]
+            bstats = variables.get("batch_stats", {})
+            opt_state = tx.init(params)
+            train_step, _ = sharded_lib.make_sharded_step_fns(
+                model, mesh, tx, axes=("data", "edge"))
+            p, b, o, mets = train_step(params, bstats, opt_state, stacked)
+            jax.block_until_ready(mets["loss"])
+            t0 = _time.time()
+            for _ in range(args.steps):
+                p, b, o, mets = train_step(p, b, o, stacked)
+            jax.block_until_ready(mets["loss"])
+            per_step = (_time.time() - t0) / args.steps
+        eps = tot_e / per_step
+        n_params = int(sum(np.prod(l.shape) for l in
+                           jax.tree_util.tree_leaves(params)))
+        ring = 2.0 * (d - 1) / d
+        fwd_floats = 2 * (L - 1) * (4 * H + 1) + 2
+        comm = 2 * ring * fwd_floats * 4 + ring * 4 * n_params
+        mode_h[d] = {
+            "mesh": [n_dp, n_es],
+            "edges_per_s": eps,
+            "efficiency_vs_linear": eps / (d * base_mol),
+            "comm_bytes_per_step": comm,
+        }
+        log(f"  {d} devices ({n_dp}x{n_es}): {eps:,.0f} edges/s, "
+            f"{comm:,.0f} B/step")
+    results["lggnn"]["hybrid_dp_x_edge"] = {"devices": mode_h}
 
     # === (b) halo partitioning of one giant connected graph =============
     log("LGGNN train step, halo-partitioned giant graph:")
@@ -341,6 +401,7 @@ def main():
         mode_a, mode_b, mode_c = (rows_of("molecule_aligned"),
                                   rows_of("halo_giant_graph"),
                                   rows_of("psum_fallback"))
+        mode_h = rows_of("hybrid_dp_x_edge")
         prior["t1_this_backend_s"] = {
             "molecule_aligned": t1_mol, "halo_giant_graph": t1_halo,
             "psum_fallback": t1_ps,
@@ -351,12 +412,16 @@ def main():
 
     results["projection"] = {
         "molecule_aligned": project(t1_mol, mode_a),
+        # hybrid shards the same molecules over the same total device
+        # count, so t1 is the same measured single-device step
+        "hybrid_dp_x_edge": project(t1_mol, mode_h),
         "halo_giant_graph": project(t1_halo, mode_b),
         "psum_fallback": project(t1_ps, mode_c),
         "note": "no-overlap bound: eff >= (t1/d)/(t1/d + bytes/BW); "
                 "t1 = measured 1-device step time on this backend",
     }
-    for mode in ("molecule_aligned", "halo_giant_graph", "psum_fallback"):
+    for mode in ("molecule_aligned", "hybrid_dp_x_edge",
+                 "halo_giant_graph", "psum_fallback"):
         proj = results["projection"][mode]
         if proj:
             dmax = max(proj)

@@ -137,6 +137,63 @@ def main():
         results[f"ccn2d_highK_{label}molecules_per_s"] = timing.throughput(n_graphs)
         results[f"ccn2d_highK_{label}steps_per_s"] = 1.0 / timing.per_step_s
 
+    # --- CCN-2D high-K CROSSOVER (VERDICT r3 #9): the scan-fused path's
+    # value is memory, not speed — find the (K, V, C) where the
+    # materialized (V, K, K, K, C) promotion tensor no longer fits the
+    # chip but the O(V K^2 C) scan still trains.
+    n_big, n_bgraphs = 95, 16  # K = 96 with self-loops: T alone ~ 10.8 GB
+    big_recs = []
+    for _ in range(n_bgraphs):
+        a = np.ones((n_big, n_big), np.float32) - np.eye(n_big, dtype=np.float32)
+        xg = rng.standard_normal((n_big, 3)).astype(np.float32)
+        big_recs.append(graphs.GraphRecord(x=xg, adj=a, y=np.float32(0.1)))
+    cbig = ccn_mod.make_ccn_batch(big_recs, vertex_capacity=n_big * n_bgraphs)
+    K_big = int(cbig.nbr.shape[1])
+    results["ccn2d_crossover_K"] = K_big
+    results["ccn2d_crossover_V"] = n_big * n_bgraphs
+    t_bytes = (n_big * n_bgraphs) * K_big**3 * 2 * 4
+    results["ccn2d_crossover_materialized_T_bytes"] = t_bytes
+    for label, model in [
+        ("materialized", ccn_mod.CCN2D(hidden=2, n_layers=2)),
+        ("scan", ccn_mod.CCN2D(hidden=2, n_layers=2, scan_promotion=True)),
+    ]:
+        try:
+            state = _train_state(model, cbig, lr=1e-3)
+            step = train_lib.make_train_step("regression", 0.0, 1.0)
+            state, timing = profiling.time_scan_steps(step, state, cbig,
+                                                      steps=3, warmup=1)
+            results[f"ccn2d_crossover_{label}_steps_per_s"] = (
+                1.0 / timing.per_step_s)
+            log(f"ccn2d crossover {label} (K={K_big}): "
+                f"{timing.per_step_s*1e3:.1f} ms/step")
+        except Exception as e:
+            results[f"ccn2d_crossover_{label}_steps_per_s"] = None
+            results[f"ccn2d_crossover_{label}_error"] = (
+                f"{type(e).__name__}: {str(e)[:200]}")
+            log(f"ccn2d crossover {label} (K={K_big}): FAILED "
+                f"{type(e).__name__} (T would be {t_bytes/1e9:.1f} GB)")
+
+    # --- halo partition host-side build at >= 1M edges (VERDICT r3 #10) -
+    from hgnn2_tpu.parallel import halo as halo_lib
+
+    Vh, Sh, Eh = 1 << 18, 8, 4_000_000
+    hrng = np.random.default_rng(0)
+    hsrc = hrng.integers(0, Vh, Eh)
+    hdst = (hsrc + hrng.integers(-64, 65, Eh)) % Vh
+    far = hrng.random(Eh) < 0.01
+    hdst[far] = hrng.integers(0, Vh, int(far.sum()))
+    hw = hrng.random(Eh).astype(np.float32)
+    t0 = time.time()
+    hpart = halo_lib.build_halo_partition(hsrc, hdst, hw, Vh, Sh,
+                                          to_device=False)
+    build_s = time.time() - t0
+    results["halo_partition_build_edges"] = Eh
+    results["halo_partition_build_s"] = build_s
+    results["halo_partition_build_edges_per_s"] = Eh / build_s
+    results["halo_partition_halo_rows_per_shard"] = int(hpart.n_imports)
+    log(f"halo partition build: {Eh:,} edges, {Vh:,} nodes, {Sh} shards "
+        f"-> {build_s:.2f}s host-side ({Eh/build_s/1e6:.1f}M edges/s)")
+
     # --- bf16 mixed-precision GNN training step -------------------------
     model_bf16 = models.GNNSimple(n_features=1, n_layers=15, J=1,
                                   dtype=jnp.bfloat16)
@@ -200,6 +257,28 @@ def main():
     if u_low is not None:
         log(f"packed SpMM HBM utilization: {u_low:.1%} (compulsory traffic) "
             f"/ {u_high:.1%} (no-reuse gather model)")
+
+    # MEASURED bytes (VERDICT r3 #5): XLA's cost analysis reports the
+    # compiled executable's actual HBM bytes accessed — the compiler's
+    # accounting of the program it emitted, replacing the hand model as the
+    # headline utilization number (the hand models above stay as brackets).
+    try:
+        compiled = jax.jit(
+            lambda s, d, w_, x_: sparse.spmm(s, d, w_, x_, pb.num_node_slots)
+        ).lower(pb.src, pb.dst, pb.w, xp).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        b_measured = float(ca.get("bytes accessed", 0.0)) or None
+    except Exception as e:  # cost analysis is backend-dependent
+        log(f"cost analysis unavailable: {e}")
+        b_measured = None
+    if b_measured:
+        u_meas = profiling.hbm_utilization(b_measured / t)
+        results["packed_spmm_bytes_accessed_measured"] = b_measured
+        results["packed_spmm_hbm_utilization_measured"] = u_meas
+        log(f"packed SpMM MEASURED bytes (XLA cost analysis): "
+            f"{b_measured/1e6:.1f} MB/step -> {u_meas:.1%} of HBM peak")
 
     # bf16 packed segment-sum: pure-bandwidth path, halving x/out bytes
     timing_b = profiling.time_steps(

@@ -253,23 +253,34 @@ class LGLayer(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, bundle, x, xl, mask, edge_mask, train: bool):
-        xa = bundle.graph_op(x)
-        xda = bundle.lg_graph_op(xl)
+    def __call__(self, bundle, x, xl, mask, edge_mask, train: bool,
+                 fused_bundle=None):
+        fb = fused_bundle
+        if fb is None:
+            xa = bundle.graph_op(x)
+            xda = bundle.lg_graph_op(xl)
 
         def node_update(edge_state):
-            x1 = jnp.concatenate(
-                [xa, bundle.pm(edge_state), bundle.pd(edge_state)], axis=-1
-            )
+            if fb is not None:
+                x1 = fb.node_input(x, edge_state)
+            else:
+                x1 = jnp.concatenate(
+                    [xa, bundle.pm(edge_state), bundle.pd(edge_state)],
+                    axis=-1,
+                )
             return _pair_conv(
                 x1, self.features_out, self.compat, mask, train,
                 relu_second=False, name_prefix="node_", dtype=self.dtype,
             )
 
         def edge_update(node_state):
-            xd1 = jnp.concatenate(
-                [xda, bundle.pm_t(node_state), bundle.pd_t(node_state)], axis=-1
-            )
+            if fb is not None:
+                xd1 = fb.edge_input(node_state, xl)
+            else:
+                xd1 = jnp.concatenate(
+                    [xda, bundle.pm_t(node_state), bundle.pd_t(node_state)],
+                    axis=-1,
+                )
             return _pair_conv(
                 xd1, self.features_out, self.compat, edge_mask, train,
                 relu_second=False, name_prefix="edge_", dtype=self.dtype,
@@ -296,8 +307,13 @@ class LGReadoutLayer(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, bundle, x, xl, mask, train: bool) -> jnp.ndarray:
-        x1 = jnp.concatenate([bundle.graph_op(x), bundle.pm(xl), bundle.pd(xl)], axis=-1)
+    def __call__(self, bundle, x, xl, mask, train: bool,
+                 fused_bundle=None) -> jnp.ndarray:
+        if fused_bundle is not None:
+            x1 = fused_bundle.node_input(x, xl)
+        else:
+            x1 = jnp.concatenate(
+                [bundle.graph_op(x), bundle.pm(xl), bundle.pd(xl)], axis=-1)
         y = nn.Dense(self.features_out, kernel_init=ref_init(), bias_init=ref_init(),
                      dtype=self.dtype, name="fc")(x1)
         if self.compat.mask_readout_bias:

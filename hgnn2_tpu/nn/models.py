@@ -71,12 +71,22 @@ class GNNLineGraph(nn.Module):
     order: int = 1
     compat: CompatConfig = CompatConfig()
     dtype: jnp.dtype | None = None  # bf16 compute (params/BN stats stay f32)
+    # combine every update's operator applications into ONE batched einsum
+    # against a precomputed (B, K, rows, N+M) tensor (FusedLGBundle) — the
+    # kernel-count cut that wins at small h where the step is launch-
+    # latency-bound (runs/profile_lggnn); identical math, tested
+    fused_ops: bool = False
 
     @nn.compact
     def __call__(self, batch, train: bool = True, bundle=None) -> jnp.ndarray:
         if bundle is None:
             bundle = DenseBundle.from_batch(batch, self.J, with_line_graph=True,
                                             dtype=self.dtype)
+        fb = None
+        if self.fused_ops:
+            from hgnn2_tpu.nn.bundles import FusedLGBundle
+
+            fb = FusedLGBundle.from_dense(bundle)
         x, mask = batch.x, batch.node_mask
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -87,13 +97,13 @@ class GNNLineGraph(nn.Module):
         x, xl = layers.LGLayer(
             self.n_features, self.order, self.compat, dtype=self.dtype,
             name="layer0"
-        )(bundle, x, xl, mask, edge_mask, train)
+        )(bundle, x, xl, mask, edge_mask, train, fused_bundle=fb)
         for i in range(self.n_layers - 2):
             x, xl = layers.LGLayer(
                 self.n_features, self.order, self.compat, dtype=self.dtype,
                 name=f"layer{i+1}"
-            )(bundle, x, xl, mask, edge_mask, train)
+            )(bundle, x, xl, mask, edge_mask, train, fused_bundle=fb)
         return layers.LGReadoutLayer(self.dim_output, self.compat,
                                      dtype=self.dtype, name="layerlast")(
-            bundle, x, xl, mask, train
+            bundle, x, xl, mask, train, fused_bundle=fb
         )

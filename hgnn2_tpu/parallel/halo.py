@@ -120,7 +120,8 @@ def _shard_scatter_plan(owner, n_shards: int, min_cap: int = 0):
 
 
 def build_halo_partition(
-    src: np.ndarray, dst: np.ndarray, w: np.ndarray, num_nodes: int, n_shards: int
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray, num_nodes: int,
+    n_shards: int, to_device: bool = True
 ) -> HaloPartition:
     """Contiguous-range node partition; edges owned by their source shard.
 
@@ -128,7 +129,9 @@ def build_halo_partition(
     O(E log E)) — the giant-graph regime this partitioning exists for means
     millions of edges, where per-edge Python loops would dominate the run.
     bench_suite.py's halo_partition_build row records build time at 10^6+
-    edges."""
+    edges. to_device=False keeps the tables as numpy (jax converts on first
+    use) — benchmarks use it to time the host build separately from the
+    device transfer."""
     if num_nodes % n_shards:
         raise ValueError(f"num_nodes {num_nodes} % n_shards {n_shards} != 0")
     vl = num_nodes // n_shards
@@ -156,12 +159,13 @@ def build_halo_partition(
     dst_pad[row, col] = dst_local_g[order].astype(np.int32)
     w_pad[row, col] = w[order].astype(np.float32)
 
+    conv = jnp.asarray if to_device else (lambda a: a)
     return HaloPartition(
-        src_local=jnp.asarray(src_pad),
-        dst_local=jnp.asarray(dst_pad),
-        w=jnp.asarray(w_pad),
-        export_idx=jnp.asarray(export_idx),
-        import_flat=jnp.asarray(import_flat),
+        src_local=conv(src_pad),
+        dst_local=conv(dst_pad),
+        w=conv(w_pad),
+        export_idx=conv(export_idx),
+        import_flat=conv(import_flat),
         nodes_per_shard=vl,
         n_imports=hi,
     )

@@ -40,14 +40,15 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build(records, ts, h, bs, use_packed):
+def build(records, ts, h, bs, use_packed, fused=False):
     if use_packed:
         inner = batching.PackedLoader(records, bs, task=0, sort=True)
         model = packed.PackedLGGNN(n_features=h, n_layers=5, J=1, order=2)
     else:
         inner = batching.DenseLoader(records, bs, task=0,
                                      with_line_graph=True, sort=True)
-        model = models.GNNLineGraph(n_features=h, n_layers=5, J=1, order=2)
+        model = models.GNNLineGraph(n_features=h, n_layers=5, J=1, order=2,
+                                    fused_ops=fused)
     loader = batching.CachedLoader(inner, shuffle=False)
     loader.materialize()
     tx = build_optimizer(OptimConfig(optim="adamax", lr=3e-4),
@@ -99,6 +100,9 @@ def main():
     ap.add_argument("--batch_size", type=int, default=2048)
     ap.add_argument("--h", type=int, default=1)
     ap.add_argument("--packed", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="dense layout with FusedLGBundle combined-operator"
+                         " einsums (one kernel per update)")
     ap.add_argument("--sweep_h", type=int, nargs="*", default=None)
     ap.add_argument("--out", default="runs/profile_lggnn")
     args = ap.parse_args()
@@ -106,14 +110,15 @@ def main():
     records = qm9.synthetic_qm9_like(args.molecules, seed=0)
     ts = stats.compute_target_stats(records)
     n_mol = len(records)
-    layout = "packed" if args.packed else "dense"
+    layout = ("packed" if args.packed
+              else "dense_fused" if args.fused else "dense")
     os.makedirs(args.out, exist_ok=True)
 
     if args.sweep_h:
         out = []
         for h in args.sweep_h:
             state, groups, scan_fn, n_steps = build(
-                records, ts, h, args.batch_size, args.packed)
+                records, ts, h, args.batch_size, args.packed, args.fused)
             _, epoch_s, compile_s, mets = timed_epochs(state, groups, scan_fn)
             row = {
                 "layout": layout, "h": h, "epoch_s": epoch_s,
@@ -133,7 +138,7 @@ def main():
         return
 
     state, groups, scan_fn, n_steps = build(
-        records, ts, args.h, args.batch_size, args.packed)
+        records, ts, args.h, args.batch_size, args.packed, args.fused)
     state, epoch_s, compile_s, mets = timed_epochs(state, groups, scan_fn)
     log(f"[{layout} h={args.h}] scanned epoch {epoch_s:.3f}s over {n_steps} "
         f"steps ({1e3 * epoch_s / n_steps:.2f} ms/step, "

@@ -64,7 +64,7 @@ RUNS = {
     "validation_reg_gnn": lambda: reg_cfg("gnn", h=64, L=5),
     "validation_reg_lggnn": lambda: reg_cfg("lggnn", h=32, L=4),
     "validation_reg_ccn2d": lambda: reg_cfg(
-        "ccn2d", h=16, L=3, lr=3e-3, epochs=200, n=2000, bs=32),
+        "ccn2d", h=6, L=3, lr=1e-3, epochs=200, n=2000, bs=32),
 }
 
 

@@ -183,3 +183,52 @@ def test_graph_readout(rng):
     out = np.asarray(sparse.graph_readout(packed.x, packed.node_gid, packed.n_graphs))
     np.testing.assert_allclose(out[0], recs[0].x.sum(0), atol=1e-5)
     np.testing.assert_allclose(out[1], recs[1].x.sum(0), atol=1e-5)
+
+
+def test_fused_lg_bundle_matches_unfused(rng):
+    """FusedLGBundle: one combined-operator einsum per update reproduces
+    [graph_op | Pm xl | Pd xl] and [lg_graph_op | Pm^T x | Pd^T x]
+    exactly, and GNNLineGraph(fused_ops=True) matches the unfused model
+    output for all three update orders."""
+    import jax
+    import jax.numpy as jnp
+
+    from hgnn2_tpu import graphs
+    from hgnn2_tpu.data import qm9
+    from hgnn2_tpu.nn import models
+    from hgnn2_tpu.nn.bundles import DenseBundle, FusedLGBundle
+
+    records = qm9.synthetic_qm9_like(12, seed=3)
+    batch = graphs.make_dense_batch(records, n_max=32, m_max=64,
+                                    with_line_graph=True, batch_size=12,
+                                    task=0)
+    b = DenseBundle.from_batch(batch, J=2, with_line_graph=True)
+    fb = FusedLGBundle.from_dense(b)
+    B, N, M = b.s_src.shape
+    F = 3
+    x = jnp.asarray(rng.standard_normal((B, N, F)).astype(np.float32))
+    xl = jnp.asarray(rng.standard_normal((B, M, F)).astype(np.float32))
+
+    want_node = jnp.concatenate([b.graph_op(x), b.pm(xl), b.pd(xl)], -1)
+    np.testing.assert_allclose(np.asarray(fb.node_input(x, xl)),
+                               np.asarray(want_node), atol=1e-4)
+    want_edge = jnp.concatenate([b.lg_graph_op(xl), b.pm_t(x), b.pd_t(x)], -1)
+    np.testing.assert_allclose(np.asarray(fb.edge_input(x, xl)),
+                               np.asarray(want_edge), atol=1e-4)
+
+    for order in (1, 2, 3):
+        m0 = models.GNNLineGraph(n_features=2, n_layers=3, J=1, order=order)
+        m1 = models.GNNLineGraph(n_features=2, n_layers=3, J=1, order=order,
+                                 fused_ops=True)
+        variables = m0.init(jax.random.key(0), batch, train=False)
+        y0 = m0.apply(variables, batch, train=False)
+        y1 = m1.apply(variables, batch, train=False)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=1e-4, atol=1e-4)
+        # train mode exercises the BN-stats path too
+        y0t, _ = m0.apply(variables, batch, train=True,
+                          mutable=["batch_stats"])
+        y1t, _ = m1.apply(variables, batch, train=True,
+                          mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y1t), np.asarray(y0t),
+                                   rtol=1e-4, atol=1e-4)
