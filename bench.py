@@ -40,7 +40,9 @@ from hgnn2_tpu.training.config import OptimConfig  # noqa: E402
 from hgnn2_tpu.training.optim import build_optimizer  # noqa: E402
 
 BASELINE_MOL_PER_S = 500.0  # reference GNN_simple epoch time, BASELINE.md
-MOLECULES = 32768
+# the reference's own training-set size (BASELINE.md: 215 s/epoch over
+# 107,108 molecules) so the comparison is epoch-for-epoch at equal scale
+MOLECULES = 107108
 BATCH = 2048
 EPOCHS = 3
 

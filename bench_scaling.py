@@ -200,11 +200,11 @@ def main():
             train_step, _ = sharded_lib.make_sharded_step_fns(
                 model, mesh, tx, axes=("data", "edge"))
             p, b, o, mets = train_step(params, bstats, opt_state, stacked)
-            jax.block_until_ready(mets["loss"])
+            profiling.force_sync(mets["loss"])
             t0 = _time.time()
             for _ in range(args.steps):
                 p, b, o, mets = train_step(p, b, o, stacked)
-            jax.block_until_ready(mets["loss"])
+            profiling.force_sync(mets["loss"])
             per_step = (_time.time() - t0) / args.steps
         eps = tot_e / per_step
         n_params = int(sum(np.prod(l.shape) for l in

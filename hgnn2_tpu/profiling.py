@@ -29,31 +29,55 @@ class StepTiming:
         return items_per_step * self.steps / self.total_s
 
 
+def force_sync(out) -> None:
+    """Reliable device barrier: fetch ONE element of one output leaf.
+
+    jax.block_until_ready can return BEFORE remote execution completes on
+    tunneled PJRT backends (measured on the axon plugin: block returned in
+    0.35 ms while the queued computation took seconds; a value fetch after
+    the "block" waited the full time). Fetching a single element forces
+    the producer chain to finish and costs one small transfer, so every
+    timing in this module syncs this way. On local backends it is
+    equivalent to block_until_ready plus a 4-byte copy.
+    """
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    if hasattr(leaf, "ravel"):
+        jax.device_get(leaf.ravel()[0])
+    else:
+        jax.block_until_ready(out)
+
+
 def time_steps(fn: Callable, *args, steps: int = 20, warmup: int = 2) -> StepTiming:
-    """Times `steps` calls of fn(*args) with device sync at the end.
+    """Times `steps` calls of fn(*args) with a RELIABLE device sync at the
+    end (force_sync — see its docstring for why block_until_ready is not
+    enough here).
 
     fn must be side-effect free w.r.t. args (same args each call).
+    NOTE: identical-args repetition measures an upper bound on throughput
+    (XLA may hoist batch-dependent work); chain dependent calls or thread
+    state (time_scan_steps) when that matters.
     """
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    force_sync(out)
     t0 = time.time()
     for _ in range(steps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    force_sync(out)
     return StepTiming(steps=steps, total_s=time.time() - t0)
 
 
 def time_scan_steps(step_fn: Callable, state, batch, steps: int = 20, warmup: int = 2):
-    """Times a (state, batch) -> (state, aux) step function, threading state."""
+    """Times a (state, batch) -> (state, aux) step function, threading
+    state; syncs via force_sync (see time_steps)."""
     for _ in range(warmup):
         state, aux = step_fn(state, batch)
-    jax.block_until_ready(aux)
+    force_sync(aux)
     t0 = time.time()
     for _ in range(steps):
         state, aux = step_fn(state, batch)
-    jax.block_until_ready(aux)
+    force_sync(aux)
     return state, StepTiming(steps=steps, total_s=time.time() - t0)
 
 

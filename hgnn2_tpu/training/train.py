@@ -253,7 +253,13 @@ def run_epoch_scanned(state, groups, scan_fn, rng=None):
         total = count if total is None else total + count
         for k, v in mets.items():
             sums[k] = sums.get(k, 0.0) + v
-    denom = max(float(total), 1.0) if total is not None else 1.0
+    if total is None:
+        return state, {}
+    # ONE host fetch for all epoch metrics (a fetch costs a full tunnel
+    # round trip on remote-attached chips; per-metric float()s would pay
+    # it len(sums)+1 times per epoch)
+    sums, total = jax.device_get((sums, total))
+    denom = max(float(total), 1.0)
     return state, {k: float(v) / denom for k, v in sums.items()}
 
 
@@ -314,6 +320,8 @@ def run_epoch(state, loader, step_fn, prefetch_size: int = 2):
     stacked = jax.tree_util.tree_map(
         lambda *xs: (jnp.stack(xs) * counts).sum() / total, *device_mets
     )
+    # one host fetch for the whole epoch's metrics (remote-chip RTTs)
+    stacked = jax.device_get(stacked)
     return state, {k: float(v) for k, v in stacked.items()}
 
 
