@@ -101,10 +101,15 @@ def build_packed_model(cfg: TrainConfig, kind: str, bn_axis: str | None = None):
 
 
 def restore_packed_checkpoint(ckpt_path: str, model, sample, optim_cfg):
-    """Restore an edge-sharded training checkpoint
-    (params/batch_stats/opt_state payload, training/sharded.py) for
-    inference/export. Returns (variables, epoch)."""
+    """Restore a packed-model training checkpoint for inference/export.
+
+    Accepts BOTH packed checkpoint layouts: the edge-sharded trainer's
+    params/batch_stats/opt_state payload (training/sharded.py) and the
+    single-device --packed trainer's TrainState payload (training/train.py
+    fit + Checkpointer.save, which adds step/epoch). Returns
+    (variables, epoch)."""
     import jax
+    import jax.numpy as jnp
 
     from hgnn2_tpu.training import checkpoint as ckpt_lib
     from hgnn2_tpu.training.optim import build_optimizer
@@ -116,7 +121,15 @@ def restore_packed_checkpoint(ckpt_path: str, model, sample, optim_cfg):
         "batch_stats": variables.get("batch_stats", {}),
         "opt_state": build_optimizer(optim_cfg, 1).init(params),
     }
-    restored = ckpt_lib.Checkpointer(ckpt_path).restore_tree(template)
+    ckpt = ckpt_lib.Checkpointer(ckpt_path)
+    try:
+        restored = ckpt.restore_tree(template)
+    except Exception:
+        # fit-based --packed checkpoint: TrainState payload shape
+        template_fit = dict(template)
+        template_fit["step"] = jnp.zeros((), jnp.int32)
+        template_fit["epoch"] = 0
+        restored = ckpt.restore_tree(template_fit)
     if restored is None:
         return None
     payload, epoch = restored

@@ -390,17 +390,19 @@ def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
                 params, batch_stats, opt_state, mets = train_step(
                     params, batch_stats, opt_state, stacked)
                 device_mets.append(mets)
-            row = {
-                f"train_{k}": float(v) for k, v in jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs).mean(), *device_mets).items()
-            }
+            # ONE host fetch per epoch for all training metrics
+            epoch_mets = jax.device_get(jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs).mean(), *device_mets))
+            row = {f"train_{k}": float(v) for k, v in epoch_mets.items()}
             for split in ("valid", "test"):
                 loader = loaders[split]
                 if loader is None or (epoch + 1) % cfg.eval_every:
                     continue
+                batch_mets = jax.device_get(
+                    [eval_step(params, batch_stats, stacked)
+                     for stacked in loader])
                 sums, total = {}, 0.0
-                for stacked in loader:
-                    mets = eval_step(params, batch_stats, stacked)
+                for mets in batch_mets:
                     n = float(mets.pop("count"))
                     total += n
                     for k, v in mets.items():

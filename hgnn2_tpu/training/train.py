@@ -287,11 +287,14 @@ def make_scanned_eval(kind: str = "regression", mean: float = 0.0,
 
 
 def evaluate_scanned(state, groups, scan_eval_fn):
-    """evaluate() over pre-stacked bucket groups: one dispatch per group."""
+    """evaluate() over pre-stacked bucket groups: one dispatch per group,
+    ONE host fetch for all groups' metrics (remote-chip RTTs)."""
+    per_group = [scan_eval_fn(state, stacked) for stacked in groups]
+    per_group = jax.device_get(per_group)
     sums: dict = {}
     total = 0.0
-    for stacked in groups:
-        mets = {k: np.asarray(v) for k, v in scan_eval_fn(state, stacked).items()}
+    for mets in per_group:
+        mets = {k: np.asarray(v) for k, v in mets.items()}
         n = mets.pop("count")
         total += float(n.sum())
         for k, v in mets.items():

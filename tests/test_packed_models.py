@@ -119,3 +119,36 @@ def test_packed_rejects_dp(tmp_path):
     cfg.data.n_synthetic = 32
     with pytest.raises(ValueError, match="edge_shards"):
         common.run_experiment(cfg)
+
+
+def test_packed_cli_train_then_predict(tmp_path):
+    """A --packed single-device training checkpoint (TrainState payload)
+    round-trips through cli.predict --packed."""
+    import json as json_lib
+
+    from hgnn2_tpu.cli import common, predict
+    from hgnn2_tpu.training.config import TrainConfig
+
+    ck = str(tmp_path / "ck")
+    cfg = TrainConfig(batch_size=16, epochs=2, checkpoint_path=ck,
+                      log_path=str(tmp_path / "run"))
+    cfg.model.arch = "lggnn"
+    cfg.model.packed = True
+    cfg.model.n_layers = 3
+    cfg.model.n_features = 2
+    cfg.model.order = 2
+    cfg.data.dataset = "qm9_synthetic"
+    cfg.data.n_synthetic = 48
+    common.run_experiment(cfg)
+
+    out = str(tmp_path / "preds.npz")
+    predict.main([
+        "--ckpt", ck, "--arch", "lggnn", "--L", "3", "--h", "2",
+        "--update", "2", "--packed", "--n_synthetic", "48",
+        "--bs", "16", "--out", out,
+    ])
+    import numpy as np
+
+    data = np.load(out)
+    assert len(data["predictions"]) == 48
+    assert np.isfinite(data["predictions"]).all()
