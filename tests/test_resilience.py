@@ -224,3 +224,32 @@ def test_export_uses_training_stats_and_refuses_fallback(tmp_path):
             "--bs", "8", "--n_max", "32", "--platforms", "cpu",
             "--out", str(tmp_path / "bundle2"),
         ])
+
+
+def test_hybrid_trainer_checkpoint_resume(tmp_path):
+    """The HYBRID (--dp x --edge_shards) trainer checkpoints and resumes:
+    restored state re-replicates over the (data, edge) mesh."""
+    from hgnn2_tpu.cli import common
+    from hgnn2_tpu.training.config import TrainConfig
+
+    def cfg_for(epochs, resume):
+        cfg = TrainConfig(batch_size=16, epochs=epochs, dp=2, edge_shards=2,
+                          checkpoint_path=str(tmp_path / "hck"),
+                          log_path=str(tmp_path / f"hlog{epochs}"),
+                          resume=resume)
+        cfg.model.arch = "lggnn"
+        cfg.model.n_layers = 2
+        cfg.model.n_features = 2
+        cfg.model.order = 2
+        cfg.optim.optim = "sgd"
+        cfg.optim.lr = 1e-5
+        cfg.optim.momentum = 0.0
+        cfg.data.dataset = "qm9_synthetic"
+        cfg.data.n_synthetic = 32
+        return cfg
+
+    _, h1 = common.run_experiment(cfg_for(2, resume=False))
+    assert len(h1) == 2
+    _, h2 = common.run_experiment(cfg_for(4, resume=True))
+    assert len(h2) == 2
+    assert np.isfinite(h2[-1]["train_loss"])
