@@ -91,13 +91,19 @@ class _ShardedLoaderBase:
     def __len__(self):
         return len(self._batches)
 
-    def __iter__(self):
+    def epoch_order(self):
+        """This epoch's batch permutation (advances the epoch counter when
+        shuffling). The scanned-epoch path feeds it to lax.scan so scanned
+        and stepwise epochs traverse identical batch sequences."""
         order = np.arange(len(self._batches))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
             self._epoch += 1
-        for i in order:
+        return order
+
+    def __iter__(self):
+        for i in self.epoch_order():
             yield self._batches[i]
 
 
@@ -229,6 +235,7 @@ def make_sharded_step_fns(model, mesh: Mesh, tx, kind: str = "regression",
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         mets = names(num[zero], den[zero])  # psum'd: every cell identical
+        mets["count"] = den[zero]  # real graphs — for weighted epoch means
         return params, new_stats, opt_state, mets
 
     @jax.jit
@@ -286,7 +293,9 @@ def make_ccn_sharded_step_fns(model, mesh: Mesh, tx,
         grads, (num, den) = jax.grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, batch_stats, opt_state, names(num[zero], den[zero])
+        mets = names(num[zero], den[zero])
+        mets["count"] = den[zero]
+        return params, batch_stats, opt_state, mets
 
     @jax.jit
     def eval_step(params, batch_stats, stacked):
@@ -296,6 +305,45 @@ def make_ccn_sharded_step_fns(model, mesh: Mesh, tx,
         return mets
 
     return train_step, eval_step
+
+
+def make_sharded_scan_epoch(train_step, mesh: Mesh, axes: tuple):
+    """Scanned epochs for the sharded trainer: a whole epoch's optimizer
+    steps inside ONE lax.scan program (the DP trainer's scanned-epoch win
+    applied to the edge-sharded and hybrid modes — one dispatch per epoch
+    instead of one per step on remote-attached chips).
+
+    Returns (stack_batches(batches) -> stacked_all, run(params, bstats,
+    opt_state, stacked_all, order) -> (params, bstats, opt_state,
+    count-weighted epoch metric means)). Sharded loaders use ONE static
+    shape per run, so the whole epoch is a single group; the stack keeps
+    the shard axes sharded via P(None, *axes)."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, P(None, *axes))
+
+    def stack_batches(batches):
+        return jax.tree_util.tree_map(
+            lambda *xs: jax.device_put(jnp.stack(xs), sharding), *batches
+        )
+
+    @jax.jit
+    def run(params, batch_stats, opt_state, stacked_all, order):
+        def body(carry, i):
+            p, b, o = carry
+            batch = jax.tree_util.tree_map(lambda x: x[i], stacked_all)
+            p, b, o, mets = train_step(p, b, o, batch)
+            return (p, b, o), mets
+
+        (params, batch_stats, opt_state), mets = jax.lax.scan(
+            body, (params, batch_stats, opt_state), order)
+        count = mets.pop("count")
+        total = jnp.maximum(count.sum(), 1.0)
+        means = jax.tree_util.tree_map(
+            lambda m: (m * count).sum() / total, mets)
+        return params, batch_stats, opt_state, means
+
+    return stack_batches, run
 
 
 def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
@@ -377,22 +425,41 @@ def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
     with GracefulShutdown() as shutdown, jax.sharding.set_mesh(mesh):
         train_step, eval_step = make_fns(
             model, mesh, tx, kind=kind, mean=mean, std=std, axes=axes)
+        # scanned epochs (cfg.scan_epochs, the shipped default): one
+        # lax.scan program per epoch over the stacked same-shape batches
+        scan_stacked = scan_run = None
+        if getattr(cfg, "scan_epochs", False) and train_loader._batches:
+            stack_batches, scan_run = make_sharded_scan_epoch(
+                train_step, mesh, axes)
+            scan_stacked = stack_batches(train_loader._batches)
         history = []
         log.info(
-            "edge-sharded training: %s, %d epochs x %d steps",
+            "edge-sharded training: %s, %d epochs x %d steps%s",
             (f"{n_data} dp x {n_shards} shards" if n_data > 1
              else f"{n_shards} shards"),
-            cfg.epochs, len(train_loader))
+            cfg.epochs, len(train_loader),
+            " (scanned epochs)" if scan_run is not None else "")
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
-            device_mets = []
-            for stacked in train_loader:
-                params, batch_stats, opt_state, mets = train_step(
-                    params, batch_stats, opt_state, stacked)
-                device_mets.append(mets)
-            # ONE host fetch per epoch for all training metrics
-            epoch_mets = jax.device_get(jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs).mean(), *device_mets))
+            if scan_run is not None:
+                order = train_loader.epoch_order()
+                params, batch_stats, opt_state, epoch_mets = scan_run(
+                    params, batch_stats, opt_state, scan_stacked,
+                    jnp.asarray(order))
+                epoch_mets = jax.device_get(epoch_mets)
+            else:
+                device_mets = []
+                for stacked in train_loader:
+                    params, batch_stats, opt_state, mets = train_step(
+                        params, batch_stats, opt_state, stacked)
+                    device_mets.append(mets)
+                # count-weighted epoch means, ONE host fetch
+                counts = jnp.stack([m["count"] for m in device_mets])
+                total = jnp.maximum(counts.sum(), 1.0)
+                epoch_mets = jax.device_get(jax.tree_util.tree_map(
+                    lambda *xs: (jnp.stack(xs) * counts).sum() / total,
+                    *[{k: v for k, v in m.items() if k != "count"}
+                      for m in device_mets]))
             row = {f"train_{k}": float(v) for k, v in epoch_mets.items()}
             for split in ("valid", "test"):
                 loader = loaders[split]

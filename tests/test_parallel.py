@@ -209,6 +209,44 @@ def test_cli_hybrid_ccn_vertex_sharding(tmp_path):
         np.testing.assert_allclose(a["valid_mae"], b["valid_mae"], rtol=1e-4)
 
 
+def test_sharded_trainer_scanned_equals_stepwise(tmp_path):
+    """The sharded trainer's scanned epochs (one lax.scan per epoch over
+    the stacked shard batches) traverse the SAME batch sequence as the
+    stepwise path and produce matching trajectories — for pure edge
+    sharding and the hybrid (data, edge) mesh."""
+    from hgnn2_tpu.cli import common
+    from hgnn2_tpu.training.config import TrainConfig
+
+    def run(dp, es, scan, tag):
+        cfg = TrainConfig(batch_size=16, epochs=2, dp=dp, edge_shards=es,
+                          scan_epochs=scan, log_path=str(tmp_path / tag))
+        cfg.model.arch = "lggnn"
+        cfg.model.n_layers = 3
+        cfg.model.n_features = 2
+        cfg.model.order = 2
+        cfg.optim.optim = "sgd"
+        cfg.optim.lr = 1e-5
+        cfg.optim.momentum = 0.0
+        cfg.data.dataset = "qm9_synthetic"
+        cfg.data.n_synthetic = 48
+        _, history = common.run_experiment(cfg)
+        return history
+
+    h_scan = run(1, 2, True, "ss_scan")
+    h_step = run(1, 2, False, "ss_step")
+    for a, b in zip(h_scan, h_step):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(a["valid_mae"], b["valid_mae"],
+                                   rtol=1e-5)
+
+    h_scan_h = run(2, 2, True, "hh_scan")
+    h_step_h = run(2, 2, False, "hh_step")
+    for a, b in zip(h_scan_h, h_step_h):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                                   rtol=1e-5)
+
+
 def test_cli_ccn_vertex_sharded_trainer(tmp_path):
     """--edge_shards on a CCN arch routes to vertex sharding: exact
     single-chip math (no BN), so 2 and 4 shards agree tightly."""
