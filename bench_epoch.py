@@ -183,6 +183,51 @@ def main():
         / out["lggnn_L5_packed"]["scanned_epoch_s"]
     )
 
+    # scanned epochs UNDER a mesh on the real chip (VERDICT r3 #2's bench
+    # row): one chip exists, so the mesh is ('data'=1, 'edge'=1) — the
+    # point is that the MESH code path (ShardedLoader sharding + stacks
+    # laid out P(None, 'data') + scan) pays no premium over the meshless
+    # scanned epoch; multi-device equivalence is tests/test_parallel.py
+    import jax as _jax
+
+    from hgnn2_tpu.parallel import spmd
+    from hgnn2_tpu.training import train as _tl
+
+    mesh = spmd.make_mesh(1, edge_axis=1)
+    with _jax.sharding.set_mesh(mesh):
+        loader = batching.CachedLoader(spmd.ShardedLoader(
+            batching.DenseLoader(records, args.batch_size, task=0,
+                                 sort=True, shuffle=False), mesh))
+        loader.materialize()
+        model = models.GNNSimple(n_features=1, n_layers=15, J=1)
+        tx = build_optimizer(OptimConfig(optim="adamax", lr=3e-4),
+                             steps_per_epoch=len(loader))
+        state = _tl.TrainState.create(model, next(iter(loader)), tx,
+                                      _jax.random.key(0))
+        state = spmd.replicate(mesh, state)
+        groups = _tl.group_stacked_batches(loader._batches, mesh)
+        scan_fn = _tl.make_scanned_epoch(
+            "regression", float(ts.mean[0]), float(ts.std[0]))
+        import numpy as _np
+
+        rng = _np.random.default_rng(0)
+        state, _ = _tl.run_epoch_scanned(state, groups, scan_fn, rng)
+        times = []
+        for _ in range(args.epochs):
+            t0 = time.time()
+            state, _m = _tl.run_epoch_scanned(state, groups, scan_fn, rng)
+            times.append(time.time() - t0)
+    out["gnn_L15_scanned_under_mesh"] = {
+        "mesh": "(data=1, edge=1) on the real chip",
+        "scanned_epoch_s": min(times),
+        "molecules_per_s_end_to_end": n / min(times),
+        "vs_meshless_scanned_epoch": (
+            out["gnn_L15"]["scanned_epoch_s"] / min(times)),
+    }
+    log(f"gnn L15 scanned UNDER MESH (dp=1): epoch {min(times):.3f}s "
+        f"({out['gnn_L15_scanned_under_mesh']['vs_meshless_scanned_epoch']:.2f}x "
+        "the meshless scanned epoch)")
+
     details = {}
     if os.path.exists("BENCH_DETAILS.json"):
         with open("BENCH_DETAILS.json") as f:
