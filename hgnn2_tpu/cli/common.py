@@ -124,12 +124,17 @@ def restore_packed_checkpoint(ckpt_path: str, model, sample, optim_cfg):
     ckpt = ckpt_lib.Checkpointer(ckpt_path)
     try:
         restored = ckpt.restore_tree(template)
-    except Exception:
-        # fit-based --packed checkpoint: TrainState payload shape
+    except Exception as sharded_err:
+        # fit-based --packed checkpoint: TrainState payload shape. If this
+        # ALSO fails, surface the original error (a genuinely corrupt
+        # checkpoint should not be reported as a layout mismatch).
         template_fit = dict(template)
         template_fit["step"] = jnp.zeros((), jnp.int32)
         template_fit["epoch"] = 0
-        restored = ckpt.restore_tree(template_fit)
+        try:
+            restored = ckpt.restore_tree(template_fit)
+        except Exception:
+            raise sharded_err
     if restored is None:
         return None
     payload, epoch = restored
@@ -306,8 +311,8 @@ def run_experiment(cfg: TrainConfig):
             loader = spmd.ShardedLoader(loader, mesh)
         if cfg.data.cache_batches:
             loader = batching.CachedLoader(
-                loader, shuffle=shuffle, seed=cfg.seed,
-                redeal_every=redeal,
+                loader, shuffle=shuffle and cfg.data.shuffle_batches,
+                seed=cfg.seed, redeal_every=redeal,
             )
         return loader
 

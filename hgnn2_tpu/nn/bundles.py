@@ -200,11 +200,13 @@ class FusedLGBundle:
         ], axis=1)
         return cls(t_node=t_node, t_edge=t_edge, J=J)
 
-    def _apply(self, t, spec, x, xl, x_block_count):
+    def _apply(self, t, spec, x, xl, lead_width, tail_width):
         """Shared combined apply with mismatched feature widths handled by
         zero-padding to a common width and slicing the block outputs (only
         the model's first layer mixes widths: x has the input feature
-        count, xl starts at 1)."""
+        count, xl starts at 1). The operand order is always [x; xl]; the
+        FIRST J+2 row blocks produce lead_width-wide features, the last
+        two produce tail_width-wide ones."""
         fx, fl = x.shape[-1], xl.shape[-1]
         fc = max(fx, fl)
         xp = x if fx == fc else jnp.pad(x, ((0, 0), (0, 0), (0, fc - fx)))
@@ -214,30 +216,21 @@ class FusedLGBundle:
         B, rows, K, _ = out.shape
         if fx == fl:
             return out.reshape(B, rows, K * fc)
-        a = out[:, :, :x_block_count, :fx].reshape(B, rows, -1)
-        bpart = out[:, :, x_block_count:, :fl].reshape(B, rows, -1)
-        return jnp.concatenate([a, bpart], axis=-1)
+        lead = out[:, :, : self.J + 2, :lead_width].reshape(B, rows, -1)
+        tail = out[:, :, self.J + 2:, :tail_width].reshape(B, rows, -1)
+        return jnp.concatenate([lead, tail], axis=-1)
 
     def node_input(self, x: jnp.ndarray, xl: jnp.ndarray) -> jnp.ndarray:
         """[graph_op(x) | Pm xl | Pd xl] as one einsum. The first J+2 row
         blocks act on x, the last two on xl."""
-        return self._apply(self.t_node, "bknv,bvf->bnkf", x, xl, self.J + 2)
+        return self._apply(self.t_node, "bknv,bvf->bnkf", x, xl,
+                           x.shape[-1], xl.shape[-1])
 
     def edge_input(self, x: jnp.ndarray, xl: jnp.ndarray) -> jnp.ndarray:
         """[lg_graph_op(xl) | Pm^T x | Pd^T x] as one einsum. The first J+2
         row blocks act on xl, the last two on x."""
-        fx, fl = x.shape[-1], xl.shape[-1]
-        fc = max(fx, fl)
-        xp = x if fx == fc else jnp.pad(x, ((0, 0), (0, 0), (0, fc - fx)))
-        xlp = xl if fl == fc else jnp.pad(xl, ((0, 0), (0, 0), (0, fc - fl)))
-        c = jnp.concatenate([xp, xlp], axis=1)
-        out = D._acc_einsum("bkmv,bvf->bmkf", self.t_edge, c)
-        B, rows, K, _ = out.shape
-        if fx == fl:
-            return out.reshape(B, rows, K * fc)
-        a = out[:, :, : self.J + 2, :fl].reshape(B, rows, -1)
-        bpart = out[:, :, self.J + 2:, :fx].reshape(B, rows, -1)
-        return jnp.concatenate([a, bpart], axis=-1)
+        return self._apply(self.t_edge, "bkmv,bvf->bmkf", x, xl,
+                           xl.shape[-1], x.shape[-1])
 
 
 @dataclasses.dataclass

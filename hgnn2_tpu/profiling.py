@@ -40,11 +40,14 @@ def force_sync(out) -> None:
     timing in this module syncs this way. On local backends it is
     equivalent to block_until_ready plus a 4-byte copy.
     """
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    if hasattr(leaf, "ravel"):
-        jax.device_get(leaf.ravel()[0])
-    else:
+    leaves = [l for l in jax.tree_util.tree_leaves(out)
+              if hasattr(l, "ravel") and getattr(l, "size", 0)]
+    if not leaves:
         jax.block_until_ready(out)
+        return
+    # one element of EVERY leaf, fetched in one call — independent
+    # dispatch chains (un-jitted compositions) all get awaited
+    jax.device_get([l.ravel()[0] for l in leaves])
 
 
 def time_steps(fn: Callable, *args, steps: int = 20, warmup: int = 2) -> StepTiming:

@@ -65,6 +65,10 @@ class DataConfig:
     # epochs (0 = never). Restores composition-level SGD stochasticity at
     # the cost of one host-side rebuild (+ possible recompile) per re-deal.
     redeal_every: int = 0
+    # order-level shuffling of the cached batches each epoch. False makes
+    # epochs fully deterministic (build order) — what the scan==stepwise
+    # and DP==single-device equivalence tests rely on.
+    shuffle_batches: bool = True
 
 
 @dataclasses.dataclass

@@ -66,6 +66,7 @@ class _ShardedLoaderBase:
     n_data: int = 1
     _batches: list = dataclasses.field(default_factory=list)
     _epoch: int = 0
+    _n_batches: int = 0
 
     def __post_init__(self):
         recs = list(self.records)
@@ -89,13 +90,21 @@ class _ShardedLoaderBase:
         return rows[0]
 
     def __len__(self):
-        return len(self._batches)
+        return len(self._batches) or self._n_batches
+
+    def release(self):
+        """Drop the per-batch arrays — the scanned-epoch path stacks them
+        into ONE sharded array, so keeping both would double device
+        memory. len()/epoch_order keep working via the recorded count;
+        __iter__ is only used by the stepwise path, which never releases."""
+        self._n_batches = len(self._batches)
+        self._batches = []
 
     def epoch_order(self):
         """This epoch's batch permutation (advances the epoch counter when
         shuffling). The scanned-epoch path feeds it to lax.scan so scanned
         and stepwise epochs traverse identical batch sequences."""
-        order = np.arange(len(self._batches))
+        order = np.arange(len(self))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
@@ -318,14 +327,20 @@ def make_sharded_scan_epoch(train_step, mesh: Mesh, axes: tuple):
     count-weighted epoch metric means)). Sharded loaders use ONE static
     shape per run, so the whole epoch is a single group; the stack keeps
     the shard axes sharded via P(None, *axes)."""
+    import functools
+
     from jax.sharding import NamedSharding
 
     sharding = NamedSharding(mesh, P(None, *axes))
 
+    # jit with out_shardings: XLA writes the stacked result directly in
+    # the sharded layout (no unsharded intermediate on one device)
+    @functools.partial(jax.jit, out_shardings=sharding)
+    def _stack(*xs):
+        return jnp.stack(xs)
+
     def stack_batches(batches):
-        return jax.tree_util.tree_map(
-            lambda *xs: jax.device_put(jnp.stack(xs), sharding), *batches
-        )
+        return jax.tree_util.tree_map(lambda *xs: _stack(*xs), *batches)
 
     @jax.jit
     def run(params, batch_stats, opt_state, stacked_all, order):
@@ -380,7 +395,9 @@ def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
     loaders = {
         split: loader_cls(
             recs, cfg.batch_size, n_shards, task=task,
-            shuffle=(split == "train"), seed=cfg.seed, n_data=n_data,
+            shuffle=(split == "train"
+                     and getattr(cfg.data, "shuffle_batches", True)),
+            seed=cfg.seed, n_data=n_data,
         ) if recs else None
         for split, recs in splits.items()
     }
@@ -432,6 +449,7 @@ def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
             stack_batches, scan_run = make_sharded_scan_epoch(
                 train_step, mesh, axes)
             scan_stacked = stack_batches(train_loader._batches)
+            train_loader.release()  # the stack replaces the per-batch cache
         history = []
         log.info(
             "edge-sharded training: %s, %d epochs x %d steps%s",

@@ -368,7 +368,14 @@ def fit(
     eval_loaders = {split: make_loader(split) for split in ("valid", "test")}
     steps_per_epoch = len(train_loader)
     tx = build_optimizer(cfg.optim, steps_per_epoch)
-    sample = next(iter(train_loader))
+    if hasattr(train_loader, "materialize"):
+        # peek the sample WITHOUT starting an iteration: __iter__ advances
+        # the cached loader's re-deal clock, which would shift the
+        # redeal_every cadence by one epoch
+        train_loader.materialize()
+        sample = train_loader._batches[0]
+    else:
+        sample = next(iter(train_loader))
     state = TrainState.create(model, sample, tx, jax.random.key(cfg.seed))
 
     start_epoch = 0

@@ -93,9 +93,11 @@ def main():
             parsed = None
             for line in proc.stdout.splitlines():
                 try:
-                    parsed = json.loads(line)
+                    cand = json.loads(line)
                 except json.JSONDecodeError:
                     continue
+                if isinstance(cand, dict) and "ms_per_step" in cand:
+                    parsed = cand
             if proc.returncode == 0 and parsed:
                 row.update(parsed)
                 print(f"K~{k} {mode}: {parsed['ms_per_step']:.1f} ms/step "

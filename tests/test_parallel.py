@@ -64,12 +64,15 @@ def test_cli_dp_run_matches_single_device(tmp_path):
         cfg.model.arch = "gnn"
         cfg.model.n_layers = 3
         cfg.model.n_features = 2
-        # sgd: adamax's sign-like update amplifies reduction-order noise
+        # sgd: adamax's sign-like update amplifies reduction-order noise;
+        # lr small enough that the trajectory stays FINITE — with NaNs,
+        # assert_allclose(equal_nan default) would pass vacuously
         cfg.optim.optim = "sgd"
-        cfg.optim.lr = 1e-2
+        cfg.optim.lr = 1e-4
         cfg.optim.momentum = 0.0
         cfg.data.dataset = "qm9_synthetic"
         cfg.data.n_synthetic = 64
+        cfg.data.shuffle_batches = False  # identical batch order per run
         _, history = common.run_experiment(cfg)
         return history
 
@@ -77,6 +80,7 @@ def test_cli_dp_run_matches_single_device(tmp_path):
     h8 = run(8, "dp8")
     assert len(h1) == len(h8) == 2
     for a, b in zip(h1, h8):
+        assert np.isfinite(a["train_loss"]) and np.isfinite(b["train_loss"])
         np.testing.assert_allclose(a["train_loss"], b["train_loss"], rtol=1e-4)
         np.testing.assert_allclose(a["valid_mae"], b["valid_mae"], rtol=1e-4)
 
@@ -110,6 +114,7 @@ def test_cli_edge_sharded_trainer_shard_count_invariant(tmp_path):
     h4 = run(4, "es4")
     assert len(h2) == len(h4) == 2
     for a, b in zip(h2, h4):
+        assert np.isfinite(a["train_loss"]) and np.isfinite(b["train_loss"])
         np.testing.assert_allclose(a["train_loss"], b["train_loss"],
                                    rtol=5e-3)
         np.testing.assert_allclose(a["valid_mae"], b["valid_mae"], rtol=5e-3)
@@ -146,6 +151,7 @@ def test_cli_hybrid_dp_x_edge_shards_matches_single_device(tmp_path):
     h_edge = run(1, 4, "e4")      # pure edge sharding, 4 devices
     assert len(h_hybrid) == len(h_edge) == 2
     for a, b in zip(h_hybrid, h_edge):
+        assert np.isfinite(a["train_loss"]) and np.isfinite(b["train_loss"])
         np.testing.assert_allclose(a["train_loss"], b["train_loss"],
                                    rtol=5e-3)
         np.testing.assert_allclose(a["valid_mae"], b["valid_mae"], rtol=5e-3)
@@ -235,6 +241,7 @@ def test_sharded_trainer_scanned_equals_stepwise(tmp_path):
     h_scan = run(1, 2, True, "ss_scan")
     h_step = run(1, 2, False, "ss_step")
     for a, b in zip(h_scan, h_step):
+        assert np.isfinite(a["train_loss"]) and np.isfinite(b["train_loss"])
         np.testing.assert_allclose(a["train_loss"], b["train_loss"],
                                    rtol=1e-5)
         np.testing.assert_allclose(a["valid_mae"], b["valid_mae"],
@@ -288,11 +295,15 @@ def test_cli_dp_scanned_equals_stepwise_and_single_device(tmp_path):
         cfg.model.arch = "gnn"
         cfg.model.n_layers = 3
         cfg.model.n_features = 2
+        # finite, deterministic-order trajectories (see the dp test above:
+        # NaN trajectories would make assert_allclose pass vacuously, and
+        # the scanned vs stepwise paths shuffle with different streams)
         cfg.optim.optim = "sgd"
-        cfg.optim.lr = 1e-2
+        cfg.optim.lr = 1e-4
         cfg.optim.momentum = 0.0
         cfg.data.dataset = "qm9_synthetic"
         cfg.data.n_synthetic = 64
+        cfg.data.shuffle_batches = False
         _, history = common.run_experiment(cfg)
         return history
 
@@ -301,6 +312,7 @@ def test_cli_dp_scanned_equals_stepwise_and_single_device(tmp_path):
     h_single = run(1, True, "single")
     assert len(h_scan_dp) == 2
     for a, b, c in zip(h_scan_dp, h_step_dp, h_single):
+        assert np.isfinite(a["train_loss"])
         np.testing.assert_allclose(a["train_loss"], b["train_loss"],
                                    rtol=1e-4)
         np.testing.assert_allclose(a["train_loss"], c["train_loss"],
