@@ -157,11 +157,13 @@ class PackedLoader:
     ids) with static bucketed capacities — the segment-sum layout
     (nn/packed.py PackedGNN/PackedLGGNN) as a shipped training path.
 
-    At small feature widths this is the bandwidth-right layout: operator
-    applications read int32 index arrays (4 B/edge) instead of the dense
-    path's one-hot scatter matrices (4*N bytes/edge), which is what makes
-    the flagship h=1 LGGNN step fast on an HBM-bound chip. Compose with
-    CachedLoader exactly like DenseLoader."""
+    Operator applications read int32 index arrays (4 B/edge) instead of
+    the dense path's one-hot scatter matrices (4*N bytes/edge) — but TPU
+    scatters process rows serially, so at molecule scale this layout
+    MEASURES SLOWER than the dense one-hot MXU path (RESULTS.md,
+    runs/profile_lggnn). Its role is the scaling layout (molecule-aligned
+    sharding via --edge_shards) and the layout for graphs too large for
+    dense blocks. Compose with CachedLoader exactly like DenseLoader."""
 
     records: Sequence[GraphRecord]
     batch_size: int
