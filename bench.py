@@ -75,7 +75,7 @@ def main():
     state = train_lib.TrainState.create(model, sample, tx, jax.random.key(0))
 
     # --- end-to-end scanned epochs (the shipped default pipeline) -------
-    groups = train_lib.group_stacked_batches(loader._batches)
+    groups = train_lib.group_stacked_batches(loader.batches())
     scan_fn = train_lib.make_scanned_epoch("regression", mean, std)
     rng = np.random.default_rng(0)
     t0 = time.time()
@@ -86,10 +86,14 @@ def main():
         t0 = time.time()
         state, mets = train_lib.run_epoch_scanned(state, groups, scan_fn, rng)
         times.append(time.time() - t0)
-    epoch_s = min(times)
+    # headline = MEAN epoch time (the reference baseline is a 20-epoch
+    # average, so min-of-3 would carry a best-case bias — ADVICE r4);
+    # best case survives as a separate field.
+    epoch_s = sum(times) / len(times)
+    best_epoch_s = min(times)
     mol_per_s = MOLECULES / epoch_s
     log(f"scanned epochs: {[round(t, 3) for t in times]} s -> "
-        f"{mol_per_s:,.0f} molecules/s end-to-end, "
+        f"{mol_per_s:,.0f} molecules/s end-to-end (mean), "
         f"{n_dir_edges / epoch_s:,.0f} edges/s, loss={mets['loss']:.4f}")
 
     # --- device upper bound: many steps over ONE resident batch ---------
@@ -113,9 +117,11 @@ def main():
         "unit": "molecules/s",
         "vs_baseline": round(mol_per_s / BASELINE_MOL_PER_S, 2),
         "epoch_s": round(epoch_s, 4),
+        "best_epoch_s": round(best_epoch_s, 4),
         "molecules": MOLECULES,
         "methodology": "scanned epochs, fresh batch every step, loader "
-                       "and metrics sync included (shipped CLI default)",
+                       "and metrics sync included (shipped CLI default); "
+                       "headline is the MEAN of 3 measured epochs",
         "device_upper_bound_mol_per_s": round(ub_mol_per_s, 1),
         "device_upper_bound_vs_baseline": round(
             ub_mol_per_s / BASELINE_MOL_PER_S, 2),

@@ -89,7 +89,7 @@ def run_family(name, model, records, ts, bs, with_lg, epochs,
     # shipped default; per-step dispatch above is the --no_scan path)
     import numpy as np
 
-    groups = train_lib.group_stacked_batches(loader._batches)
+    groups = train_lib.group_stacked_batches(loader.batches())
     scan_fn = train_lib.make_scanned_epoch(
         "regression", float(ts.mean[0]), float(ts.std[0]))
     rng = np.random.default_rng(0)
@@ -205,7 +205,7 @@ def main():
         state = _tl.TrainState.create(model, next(iter(loader)), tx,
                                       _jax.random.key(0))
         state = spmd.replicate(mesh, state)
-        groups = _tl.group_stacked_batches(loader._batches, mesh)
+        groups = _tl.group_stacked_batches(loader.batches(), mesh)
         scan_fn = _tl.make_scanned_epoch(
             "regression", float(ts.mean[0]), float(ts.std[0]))
         import numpy as _np

@@ -185,7 +185,7 @@ def main():
         loader = sharded_lib.ShardedPackedLoader(
             records, batch_size=len(records), n_shards=n_es, task=0,
             n_data=n_dp)
-        stacked = loader._batches[0]
+        stacked = loader.peek_sample()
         model = packed.PackedLGGNN(n_features=H, n_layers=L, J=1, order=2,
                                    bn_axis=("data", "edge"))
         init_model = packed.PackedLGGNN(n_features=H, n_layers=L, J=1,

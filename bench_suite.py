@@ -370,49 +370,11 @@ def main():
             results["dense_block128_spmm_bf16_edges_per_s"]
             / results["dense_block128_spmm_edges_per_s"])
 
-    # --- fused power-layer grad steps (Pallas fwd, jnp vs Pallas bwd) ---
-    from hgnn2_tpu.ops.pallas import power_layer as pal
-
-    B2, N2, F2, H2, J2 = 64, 256, 64, 64, 2
-    r2 = np.random.default_rng(3)
-    a2 = r2.random((B2, N2, N2)).astype(np.float32)
-    adj2 = jnp.asarray(np.triu(a2, 1) + np.triu(a2, 1).transpose(0, 2, 1))
-    deg2 = adj2.sum(-1)
-    x2 = jnp.asarray(r2.standard_normal((B2, N2, F2)).astype(np.float32))
-    mask2 = jnp.ones((B2, N2), jnp.float32)
-    w1 = jnp.asarray(r2.standard_normal(((J2 + 2) * F2, H2)).astype(np.float32)) * 0.05
-    b1 = jnp.zeros((H2,), jnp.float32)
-    w2_ = jnp.asarray(r2.standard_normal(((J2 + 2) * F2, H2)).astype(np.float32)) * 0.05
-    b2_ = jnp.zeros((H2,), jnp.float32)
-
-    def xla_fwd(x, w1, b1, w2, b2):
-        x1 = pal._ref_blocks(adj2, deg2, x, mask2, J2)
-        av = jnp.maximum(jnp.einsum("bnk,kh->bnh", x1, w1) + b1, 0.0)
-        bv = jnp.maximum(jnp.einsum("bnk,kh->bnh", x1, w2) + b2, 0.0)
-        return jnp.concatenate([bv, av], -1)
-
-    def make_grad(fwd):
-        def loss(x, w1, b1, w2, b2):
-            return (fwd(x, w1, b1, w2, b2) ** 2).sum()
-
-        return jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
-
-    variants = {
-        "xla": make_grad(xla_fwd),
-        "fused_fwd_jnp_bwd": make_grad(
-            lambda x, w1, b1, w2, b2: pal.fused_power_layer(
-                adj2, deg2, x, mask2, w1, b1, w2, b2, J2, True, 8, False)),
-    }
-    grad_rows = {"config": f"B={B2} N={N2} F=H={H2} J={J2}, full grad step"}
-    for name, fn in variants.items():
-        # chain x through its own gradient so every iteration depends on
-        # the last (honest device time, one dispatch)
-        per_step = time_chained_op(
-            lambda xc, fn=fn: fn(xc, w1, b1, w2_, b2_)[0], x2,
-            n=max(5, steps // 3))
-        grad_rows[name] = per_step * 1e3
-        log(f"fused grad step {name}: {per_step*1e3:.3f} ms")
-    results["fused_power_layer_grad_step_ms"] = grad_rows
+    # (The fused power-layer grad-step comparison lived here until round 5:
+    # the Pallas forward lost to XLA at every measured config, including
+    # its own best shape — XLA 2.527 ms vs fused 2.807 ms at
+    # B=64 N=256 F=H=64 J=2 — so the kernel was retired; see
+    # hgnn2_tpu/ops/pallas/__init__.py for the graveyard record.)
 
     # ratios vs the reference floors
     for k, ref in REF.items():

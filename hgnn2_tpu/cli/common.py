@@ -151,7 +151,7 @@ def build_model(cfg: TrainConfig, kind: str):
     if m.arch == "gnn":
         return models.GNNSimple(
             n_features=m.n_features, n_layers=m.n_layers, dim_output=dim_output,
-            J=m.J, compat=compat,
+            J=m.J, compat=compat, gru=m.gru,
         )
     if m.arch == "lggnn":
         return models.GNNLineGraph(
@@ -380,6 +380,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--no_scan", action="store_true",
                    help="dispatch each optimizer step separately instead "
                         "of scanning whole epochs in one program")
+    p.add_argument("--gru", action="store_true",
+                   help="gnn: gated node-state update in every layer "
+                        "(reference --gru, models/layers/layers_mnb.py:38)")
     p.add_argument("--packed", action="store_true",
                    help="gnn/lggnn: train the packed segment-sum model "
                         "(flat node/edge arrays; the bandwidth-right "
@@ -406,6 +409,7 @@ def config_from_args(args, arch: str, dataset: str) -> TrainConfig:
     cfg.model.n_layers = args.layers
     cfg.model.J = args.J
     cfg.model.compat_reference = args.compat_reference
+    cfg.model.gru = getattr(args, "gru", False)
     cfg.model.packed = getattr(args, "packed", False)
     cfg.data.dataset = dataset
     cfg.data.data_path = args.data_path

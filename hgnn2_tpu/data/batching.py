@@ -104,6 +104,20 @@ class CachedLoader:
             self._batches = list(self.inner)
         return self
 
+    def peek_sample(self):
+        """First cached batch WITHOUT starting an iteration — __iter__
+        advances the re-deal clock, which would shift the redeal_every
+        cadence by one epoch. The public way to get a tracing sample."""
+        self.materialize()
+        return self._batches[0]
+
+    def batches(self) -> list:
+        """The materialized batch list (built if needed), in deal order.
+        The scanned-epoch path stacks these into bucket groups and then
+        calls release(); re-deal cadence stays with maybe_redeal()."""
+        self.materialize()
+        return self._batches
+
     def release(self) -> None:
         """Drop the cached batches (rebuilt from the inner loader on the
         next materialize). The scanned-epoch path calls this after stacking

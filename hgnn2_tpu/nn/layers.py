@@ -142,27 +142,48 @@ def spatial_normalization(h: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-5):
 class GRUUpdate(nn.Module):
     """Gated node-state update (reference models/layers/gru_update.py:17).
 
-    Defined for API completeness; like the reference (its invocation is
-    commented out at layers_mnb.py:67), models do not wire it by default.
+    Parameterization matches the reference exactly: ih = Linear(fmap_in,
+    3*features) on the input, hh = Linear(features, 3*features) on the
+    hidden state, chunked into (r, z, n) thirds (gru_update.py:24-33):
+        r = sigmoid(r_i + r_h); z = sigmoid(z_i + z_h)
+        n = tanh(n_i + r * n_h); o = (1 - z) * n + z * h
+    Forward parity vs the torch module is tested
+    (tests/test_gnn_parity.py::test_gru_update_forward_parity).
+
+    Wiring: PowerLayer(gru=True) applies it as the intended-but-commented
+    reference update zbu1 = update(x1, zb1) (layers_mnb.py:67), i.e. input
+    = the operator-expanded features x1, hidden = the pre-BN two-conv
+    concat. Deviation note: the reference constructs
+    GRUUpdate(n_inputs, 2*n_outputs) (layers_mnb.py:38-41) whose ih could
+    not even accept x1's J*n_inputs channels — here ih takes x1's real
+    width, which is what makes the wiring runnable.
     """
 
     features: int
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
-        z = nn.sigmoid(nn.Dense(self.features, kernel_init=ref_init())(jnp.concatenate([x, h], -1)))
-        r = nn.sigmoid(nn.Dense(self.features, kernel_init=ref_init())(jnp.concatenate([x, h], -1)))
-        hh = nn.tanh(nn.Dense(self.features, kernel_init=ref_init())(jnp.concatenate([x, r * h], -1)))
-        return (1.0 - z) * h + z * hh
+        i3 = nn.Dense(3 * self.features, kernel_init=ref_init(),
+                      bias_init=ref_init(), name="ih")(x)
+        h3 = nn.Dense(3 * self.features, kernel_init=ref_init(),
+                      bias_init=ref_init(), name="hh")(h)
+        r_i, z_i, n_i = jnp.split(i3, 3, axis=-1)
+        r_h, z_h, n_h = jnp.split(h3, 3, axis=-1)
+        r = nn.sigmoid(r_i + r_h)
+        z = nn.sigmoid(z_i + z_h)
+        n = nn.tanh(n_i + r * n_h)
+        return (1.0 - z) * n + z * h
 
 
 def _pair_conv(x1, n_out, compat, mask, train, relu_second, name_prefix="",
-               dtype=None):
+               dtype=None, gru=False):
     """The reference's two-conv + concat + BN block.
 
     Returns BN(concat([cv2(x1) (relu iff relu_second), relu(cv1(x1))])) —
     concat order (cv2, cv1) matches layer_simple:60-65 / layer_with_lg_*.
     dtype: computation dtype (bf16 mixed precision); params stay f32.
+    gru: apply GRUUpdate(x1, z) before BN — the reference's intended
+    update step (layers_mnb.py:67, commented out there).
     """
     a = nn.Dense(n_out, kernel_init=ref_init(), bias_init=ref_init(),
                  dtype=dtype, name=f"{name_prefix}cv1")(x1)
@@ -172,6 +193,8 @@ def _pair_conv(x1, n_out, compat, mask, train, relu_second, name_prefix="",
     if relu_second:
         b = nn.relu(b)
     z = jnp.concatenate([b, a], axis=-1)
+    if gru:
+        z = GRUUpdate(2 * n_out, name=f"{name_prefix}gru")(x1, z)
     return MaskedBatchNorm(compat=compat, name=f"{name_prefix}bn")(z, mask, train)
 
 
@@ -182,40 +205,13 @@ class PowerLayer(nn.Module):
     features_out: int
     compat: CompatConfig = CompatConfig()
     dtype: jnp.dtype | None = None
+    gru: bool = False  # reference GNN_simple(gru=True), layers_mnb.py:38-41
 
     @nn.compact
     def __call__(self, bundle, x, mask, train: bool) -> jnp.ndarray:
         x1 = bundle.graph_op(x)
         return _pair_conv(x1, self.features_out, self.compat, mask, train,
-                          relu_second=True, dtype=self.dtype)
-
-
-class FusedPowerLayer(nn.Module):
-    """PowerLayer with the pre-BN body in one Pallas kernel
-    (ops/pallas/power_layer.py). Parameter names/shapes match PowerLayer so
-    checkpoints are interchangeable. Requires a DenseBundle-style caller
-    providing adjacency/degree directly (the kernel applies operator powers
-    itself)."""
-
-    features_out: int
-    J: int = 1
-    compat: CompatConfig = CompatConfig()
-    interpret: bool = False  # interpreter mode (CPU tests)
-
-    @nn.compact
-    def __call__(self, adj, deg, x, mask, train: bool) -> jnp.ndarray:
-        from hgnn2_tpu.ops.pallas.power_layer import fused_power_layer
-
-        f_in = (self.J + 2) * x.shape[-1]
-        w1 = self.param("cv1_kernel", ref_init(), (f_in, self.features_out))
-        b1 = self.param("cv1_bias", ref_init(), (self.features_out,))
-        w2 = self.param("cv2_kernel", ref_init(), (f_in, self.features_out))
-        b2 = self.param("cv2_bias", ref_init(), (self.features_out,))
-        z = fused_power_layer(
-            adj, deg, x, mask, w1, b1, w2, b2,
-            self.J, True, 8, self.interpret,
-        )
-        return MaskedBatchNorm(compat=self.compat, name="bn")(z, mask, train)
+                          relu_second=True, dtype=self.dtype, gru=self.gru)
 
 
 class ReadoutLayer(nn.Module):

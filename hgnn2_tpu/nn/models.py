@@ -29,9 +29,12 @@ class GNNSimple(nn.Module):
     dim_output: int = 1
     J: int = 1
     compat: CompatConfig = CompatConfig()
-    fused: bool = False  # run layer bodies as one Pallas kernel each
-    interpret: bool = False  # Pallas interpreter mode (CPU tests)
     dtype: jnp.dtype | None = None  # bf16 compute (params/BN stats stay f32)
+    # gated node-state update in every non-readout layer (reference
+    # GNN_simple(gru=True) -> layer_simple constructs GRUUpdate,
+    # layers_mnb.py:38-41; here it is also APPLIED — see GRUUpdate's
+    # docstring for the deviation note)
+    gru: bool = False
 
     @nn.compact
     def __call__(self, batch, train: bool = True, bundle=None) -> jnp.ndarray:
@@ -41,16 +44,11 @@ class GNNSimple(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         for i in range(self.n_layers - 1):
-            name = f"layer{i}"
-            if self.fused:
-                x = layers.FusedPowerLayer(
-                    self.n_features, self.J, self.compat, self.interpret, name=name
-                )(batch.adj, bundle.deg, x, mask, train)
-            else:
-                x = layers.PowerLayer(self.n_features, self.compat,
-                                      dtype=self.dtype, name=name)(
-                    bundle, x, mask, train
-                )
+            x = layers.PowerLayer(self.n_features, self.compat,
+                                  dtype=self.dtype, gru=self.gru,
+                                  name=f"layer{i}")(
+                bundle, x, mask, train
+            )
         return layers.ReadoutLayer(self.dim_output, self.compat,
                                    dtype=self.dtype, name="layerlast")(
             bundle, x, mask, train

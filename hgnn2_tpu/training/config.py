@@ -30,6 +30,7 @@ class ModelConfig:
     n_layers: int = 15  # L
     J: int = 1
     order: int = 1  # lggnn update order
+    gru: bool = False  # gnn: gated node-state update (reference --gru)
     dim_output: int = 1
     compat_reference: bool = False
     compat_contractions: bool = False  # ccn2d

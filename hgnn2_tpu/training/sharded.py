@@ -100,6 +100,15 @@ class _ShardedLoaderBase:
         self._n_batches = len(self._batches)
         self._batches = []
 
+    def peek_sample(self):
+        """First stacked batch without consuming an epoch permutation."""
+        return self._batches[0]
+
+    def batches(self) -> list:
+        """The stacked per-batch list, in deal order (empty after
+        release()). The scanned path stacks these and then releases."""
+        return self._batches
+
     def epoch_order(self):
         """This epoch's batch permutation (advances the epoch counter when
         shuffling). The scanned-epoch path feeds it to lax.scan so scanned
@@ -176,10 +185,14 @@ def _local_metric_sums(out, local, kind, mean, std, axes=("edge",)):
                          (jnp.abs(err) * gmask).sum()])
     den = gmask.sum()
     num, den = jax.lax.psum((num, den), axes)
-    return num, jnp.maximum(den, 1.0)
+    # den is the RAW real-graph count: it is reported as 'count' and weights
+    # epoch means, so an all-padding stacked batch must contribute 0, not a
+    # phantom 1. Division sites clamp locally (_metric_names / loss_fn).
+    return num, den
 
 
 def _metric_names(num, den, kind):
+    den = jnp.maximum(den, 1.0)
     if kind == "classification":
         return {"loss": num[0] / den, "accuracy": num[1] / den}
     return {"loss": num[0] / den, "mae": num[1] / den}
@@ -214,7 +227,7 @@ def make_sharded_step_fns(model, mesh: Mesh, tx, kind: str = "regression",
         out, upd = model.apply(variables, local, train=True,
                                mutable=["batch_stats"])
         num, den = local_metrics(out, local)
-        loss = num[0] / den
+        loss = num[0] / jnp.maximum(den, 1.0)
         return (loss.reshape(one), (num.reshape(one + num.shape),
                                     den.reshape(one), upd["batch_stats"]))
 
@@ -277,7 +290,7 @@ def make_ccn_sharded_step_fns(model, mesh: Mesh, tx,
         local = jax.tree_util.tree_map(lambda v: v[zero], stacked)
         out = model.apply(variables, local, train=train)
         num, den = _local_metric_sums(out, local, kind, mean, std, axes)
-        loss = num[0] / den
+        loss = num[0] / jnp.maximum(den, 1.0)
         return loss.reshape(one), (num.reshape(one + num.shape),
                                    den.reshape(one))
 
@@ -405,7 +418,7 @@ def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
     tx = build_optimizer(cfg.optim, steps_per_epoch=len(train_loader))
 
     sample_local = jax.tree_util.tree_map(
-        lambda v: v[(0,) * len(axes)], train_loader._batches[0])
+        lambda v: v[(0,) * len(axes)], train_loader.peek_sample())
     # init outside the shard_map: packed models use the bn_axis-free twin
     # (identical params/stats structure); CCN models have no axis state
     init_model = model if family == "ccn" else model.clone(bn_axis=None)
@@ -445,10 +458,10 @@ def fit_sharded(model, cfg: TrainConfig, splits: dict, kind: str,
         # scanned epochs (cfg.scan_epochs, the shipped default): one
         # lax.scan program per epoch over the stacked same-shape batches
         scan_stacked = scan_run = None
-        if getattr(cfg, "scan_epochs", False) and train_loader._batches:
+        if getattr(cfg, "scan_epochs", False) and train_loader.batches():
             stack_batches, scan_run = make_sharded_scan_epoch(
                 train_step, mesh, axes)
-            scan_stacked = stack_batches(train_loader._batches)
+            scan_stacked = stack_batches(train_loader.batches())
             train_loader.release()  # the stack replaces the per-batch cache
         history = []
         log.info(

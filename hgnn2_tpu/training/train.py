@@ -220,9 +220,18 @@ def group_stacked_batches(batches, mesh=None):
         if mesh is not None and out.ndim >= 2:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            out = jax.device_put(
-                out, NamedSharding(mesh, P(None, "data"))
-            )
+            # Axis 1 is assumed to be the batch dimension (every dense-batch
+            # leaf leads with it). A leaf whose axis 1 is not divisible by
+            # the data-axis size would be silently mis-sharded inside jit —
+            # replicate it instead (correct for any leaf; DP batch leaves
+            # are always divisible because the loader pads to batch_size).
+            ndata = mesh.shape["data"]
+            if out.shape[1] % ndata == 0:
+                out = jax.device_put(
+                    out, NamedSharding(mesh, P(None, "data"))
+                )
+            else:
+                out = jax.device_put(out, NamedSharding(mesh, P()))
         return out
 
     return [jax.tree_util.tree_map(stack, *g) for g in groups.values()]
@@ -368,12 +377,11 @@ def fit(
     eval_loaders = {split: make_loader(split) for split in ("valid", "test")}
     steps_per_epoch = len(train_loader)
     tx = build_optimizer(cfg.optim, steps_per_epoch)
-    if hasattr(train_loader, "materialize"):
-        # peek the sample WITHOUT starting an iteration: __iter__ advances
-        # the cached loader's re-deal clock, which would shift the
-        # redeal_every cadence by one epoch
-        train_loader.materialize()
-        sample = train_loader._batches[0]
+    if hasattr(train_loader, "peek_sample"):
+        # peek WITHOUT starting an iteration: __iter__ advances the cached
+        # loader's re-deal clock, which would shift the redeal_every
+        # cadence by one epoch
+        sample = train_loader.peek_sample()
     else:
         sample = next(iter(train_loader))
     state = TrainState.create(model, sample, tx, jax.random.key(cfg.seed))
@@ -404,25 +412,24 @@ def fit(
     scan_eval_fn = None
 
     def build_train_groups():
-        train_loader.materialize()
-        g = (group_stacked_batches(train_loader._batches, mesh)
-             if train_loader._batches else None)
+        bs = train_loader.batches()
+        g = group_stacked_batches(bs, mesh) if bs else None
         if hasattr(train_loader, "release"):
             train_loader.release()  # the stacks replace the per-batch cache
         return g
 
     if (getattr(cfg, "scan_epochs", False)
-            and hasattr(train_loader, "materialize")):
+            and hasattr(train_loader, "batches")):
         scan_groups = build_train_groups()
         if scan_groups:
             scan_fn = make_scanned_epoch(kind, mean, std)
             scan_eval_fn = make_scanned_eval(kind, mean, std)
             for split, loader in eval_loaders.items():
-                if loader is not None and hasattr(loader, "materialize"):
-                    loader.materialize()
-                    if loader._batches:
+                if loader is not None and hasattr(loader, "batches"):
+                    split_bs = loader.batches()
+                    if split_bs:
                         eval_groups[split] = group_stacked_batches(
-                            loader._batches, mesh)
+                            split_bs, mesh)
                         if hasattr(loader, "release"):
                             loader.release()
             log.info("scanned epochs: %d bucket group(s)", len(scan_groups))

@@ -55,7 +55,7 @@ def build(records, ts, h, bs, use_packed, fused=False):
                          steps_per_epoch=len(loader))
     sample = next(iter(loader))
     state = train_lib.TrainState.create(model, sample, tx, jax.random.key(0))
-    groups = train_lib.group_stacked_batches(loader._batches)
+    groups = train_lib.group_stacked_batches(loader.batches())
     scan_fn = train_lib.make_scanned_epoch(
         "regression", float(ts.mean[0]), float(ts.std[0]))
     return state, groups, scan_fn, len(loader)

@@ -176,6 +176,79 @@ def test_gnn_lg_forward_parity(reference_path, rng, order):
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=3e-4, rtol=1e-4)
 
 
+def test_gru_update_forward_parity(reference_path, rng):
+    """Our GRUUpdate matches the reference torch module bit-for-bit
+    (models/layers/gru_update.py:24-33): same ih/hh parameterization,
+    same (r, z, n) chunk order, o = (1-z)*n + z*h."""
+    import torch
+    from models.layers.gru_update import GRUUpdate as GRUUpdateT
+
+    from hgnn2_tpu.nn.layers import GRUUpdate
+
+    fmap_in, fmap_out, B, N = 7, 4, 3, 6
+    torch.manual_seed(0)
+    gru_t = GRUUpdateT(fmap_in, fmap_out)
+    x = rng.standard_normal((B, N, fmap_in)).astype(np.float32)
+    h = rng.standard_normal((B, N, fmap_out)).astype(np.float32)
+    with torch.no_grad():
+        ref = gru_t(torch.from_numpy(x), torch.from_numpy(h)).numpy()
+
+    gru = GRUUpdate(features=fmap_out)
+    variables = gru.init(jax.random.key(0), jnp.asarray(x), jnp.asarray(h))
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    p["ih"]["kernel"] = gru_t.ih.weight.detach().numpy().T.copy()
+    p["ih"]["bias"] = gru_t.ih.bias.detach().numpy().copy()
+    p["hh"]["kernel"] = gru_t.hh.weight.detach().numpy().T.copy()
+    p["hh"]["bias"] = gru_t.hh.bias.detach().numpy().copy()
+    out = gru.apply({"params": jax.tree_util.tree_map(jnp.asarray, p)},
+                    jnp.asarray(x), jnp.asarray(h))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_gnn_gru_trains(rng):
+    """GNNSimple(gru=True) constructs per-layer GRUUpdate params, its
+    forward differs from the ungated model, and a few optimizer steps
+    train it to a finite, decreasing loss with gradients reaching the
+    gru parameters."""
+    import optax
+
+    recs = _records(rng, [6, 8, 5, 7])
+    batch = graphs.make_dense_batch(recs, task=0)
+    model = models.GNNSimple(n_features=3, n_layers=3, dim_output=1, gru=True)
+    variables = model.init(jax.random.key(0), batch, train=True)
+    assert "gru" in variables["params"]["layer0"]  # constructed, not dead
+    out_g, _ = model.apply(variables, batch, train=True,
+                           mutable=["batch_stats"])
+
+    plain = models.GNNSimple(n_features=3, n_layers=3, dim_output=1)
+    vp = plain.init(jax.random.key(0), batch, train=True)
+    # shared submodules initialize identically; the gated forward differs
+    out_p, _ = plain.apply(vp, batch, train=True, mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(out_g), np.asarray(out_p))
+
+    y = jnp.asarray(rng.standard_normal(batch.y.shape).astype(np.float32))
+    tx = optax.adamax(1e-3)
+    params, bstats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+
+    def loss_fn(p, bs):
+        out, upd = model.apply({"params": p, "batch_stats": bs}, batch,
+                               train=True, mutable=["batch_stats"])
+        return jnp.mean((out[:, 0] - y) ** 2), upd["batch_stats"]
+
+    losses = []
+    for _ in range(15):
+        (loss, bstats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, bstats)
+        g_gru = jax.tree_util.tree_leaves(grads["layer0"]["gru"])
+        assert any(float(jnp.abs(g).max()) > 0 for g in g_gru)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_bn_running_stats_and_eval(rng):
     """Running stats follow running <- 0.9*batch + 0.1*running and eval
     uses them (reference batch_normalization.py:34-43)."""

@@ -131,7 +131,7 @@ def test_scanned_epoch_matches_stepwise():
     step = train_lib.make_train_step("regression", 1.0, 2.0)
     s1, m1 = train_lib.run_epoch(state0, loader, step)
 
-    groups = train_lib.group_stacked_batches(loader._batches)
+    groups = train_lib.group_stacked_batches(loader.batches())
     scan_fn = train_lib.make_scanned_epoch("regression", 1.0, 2.0)
     s2, m2 = train_lib.run_epoch_scanned(state0, groups, scan_fn, rng=None)
 
@@ -176,7 +176,7 @@ def test_scanned_epoch_metrics_weighted_by_graph_count():
     want = {k: v / total for k, v in w_sum.items()}
     assert total == 36.0
 
-    groups = train_lib.group_stacked_batches(loader._batches)
+    groups = train_lib.group_stacked_batches(loader.batches())
     scan_fn = train_lib.make_scanned_epoch("regression", 1.0, 2.0)
     s2, m2 = train_lib.run_epoch_scanned(state0, groups, scan_fn, rng=None)
     for k, v in want.items():
