@@ -17,6 +17,14 @@ hgnn2_tpu.parallel.multihost.setup_distributed, and runs:
      run under shard_map over the global ('edge',) mesh — BN statistics
      and loss psums cross the process boundary.
 
+  3. HYBRID (data x edge) training across the process boundary: a global
+     (data=P, edge=L) mesh where the 'data' axis spans processes (DCN)
+     and the 'edge' axis stays within each process (ICI) — the composed
+     --dp M --edge_shards N program in the pod regime SURVEY 2.3 names.
+     Each child also runs the same step-fn on a LOCAL (1, 1) mesh over
+     the full batch and asserts the hybrid loss equals that single-device
+     control to 1e-4 relative.
+
 The parent asserts every process reports the same finite loss for each
 phase.
 
@@ -143,6 +151,90 @@ def child(args):
         eloss = emets["loss"]
     print(f"MHESLOSS proc={args.child} loss={float(eloss):.6f}", flush=True)
 
+    # --- phase 3: the HYBRID (data x edge) mesh across real processes —
+    # the pod regime SURVEY §2.3 names: batch-level DP across hosts (the
+    # 'data' axis spans the process boundary / DCN) composed with
+    # molecule-aligned edge sharding within each host (the 'edge' axis
+    # stays on a host's local devices / ICI). Same composed program the
+    # cli builds for --dp M --edge_shards N, here over 2 real processes.
+    # Each child also runs the identical step on a LOCAL (1, 1) mesh over
+    # the full batch — the single-device control — and asserts the hybrid
+    # loss matches it, so the cross-process collectives are checked
+    # against ground truth, not just for lockstep.
+    n_data, n_edge = args.processes, args.local_devices
+    hmesh = multihost.global_mesh(("data", "edge"), shape=(n_data, n_edge))
+    recs3 = qm9.synthetic_qm9_like(6 * n_global, seed=2)
+    hgroups = spmd.partition_records(recs3, n_data)
+    hparts = [spmd.partition_records(g, n_edge) for g in hgroups]
+    vcap3 = max(sum(r.n_nodes for r in s) for p in hparts for s in p)
+    ecap3 = max(sum(r.n_dir_edges for r in s) for p in hparts for s in p)
+    gcap3 = max(len(s) for p in hparts for s in p)
+    rows = [spmd.make_packed_shards(
+        g, n_edge, node_capacity=vcap3, edge_capacity=ecap3,
+        graphs_per_shard=gcap3, task=0, parts=p)
+        for g, p in zip(hgroups, hparts)]
+    hstacked_all = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *rows)
+    hsharding = NamedSharding(hmesh, P("data", "edge"))
+    # 'data' rows live one-per-process; each process feeds only its row
+    hstacked = jax.tree_util.tree_map(
+        lambda v: jax.make_array_from_process_local_data(
+            hsharding, v[args.child : args.child + 1]),
+        hstacked_all,
+    )
+
+    hmodel = packed.PackedLGGNN(n_features=2, n_layers=3, J=1, order=2,
+                                bn_axis=("data", "edge"))
+    hsample = jax.tree_util.tree_map(lambda v: jnp.asarray(v[0, 0]),
+                                     hstacked_all)
+    hvars = hmodel.clone(bn_axis=None).init(
+        jax.random.key(2), hsample, train=True)
+    htx = optax.sgd(1e-5)
+    hparams = multihost.replicate_to_mesh(hmesh, hvars["params"])
+    hbstats = multihost.replicate_to_mesh(hmesh, hvars["batch_stats"])
+    hopt = multihost.replicate_to_mesh(hmesh, htx.init(hvars["params"]))
+    htrain, _ = sharded_lib.make_sharded_step_fns(
+        hmodel, hmesh, htx, kind="regression", mean=0.0, std=1.0,
+        axes=("data", "edge"))
+    hloss = None
+    for _ in range(args.steps):
+        hparams, hbstats, hopt, hmets = htrain(hparams, hbstats, hopt,
+                                               hstacked)
+        hloss = hmets["loss"]
+
+    # single-device control: one LOCAL (1, 1) mesh, the whole batch as one
+    # shard, the exact same step-fn builder — psums over singleton axes
+    # are identities, so this is the unsharded ground truth
+    from jax.sharding import Mesh
+
+    cmesh = Mesh(np.array(jax.local_devices()[:1]).reshape(1, 1),
+                 ("data", "edge"))
+    call = spmd.make_packed_shards(
+        recs3, 1, node_capacity=sum(r.n_nodes for r in recs3),
+        edge_capacity=sum(r.n_dir_edges for r in recs3),
+        graphs_per_shard=len(recs3), task=0)
+    cstacked = jax.tree_util.tree_map(
+        lambda v: jax.device_put(
+            np.asarray(v)[None],
+            NamedSharding(cmesh, P("data", "edge"))),
+        call)
+    cparams = jax.tree_util.tree_map(np.asarray, hvars["params"])
+    cbstats = jax.tree_util.tree_map(np.asarray, hvars["batch_stats"])
+    copt = htx.init(cparams)
+    ctrain, _ = sharded_lib.make_sharded_step_fns(
+        hmodel, cmesh, htx, kind="regression", mean=0.0, std=1.0,
+        axes=("data", "edge"))
+    closs = None
+    for _ in range(args.steps):
+        cparams, cbstats, copt, cmets = ctrain(cparams, cbstats, copt,
+                                               cstacked)
+        closs = cmets["loss"]
+    hl, cl = float(hloss), float(closs)
+    assert np.isfinite(hl) and np.isfinite(cl), (hl, cl)
+    assert abs(hl - cl) <= 1e-4 * max(1.0, abs(cl)), (
+        f"hybrid-across-processes loss {hl} != single-device control {cl}")
+    print(f"MHHYLOSS proc={args.child} loss={hl:.6f}", flush=True)
+
 
 def parent(args):
     with socket.socket() as s:
@@ -160,7 +252,7 @@ def parent(args):
             cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True,
         ))
-    losses = {"MHLOSS": [], "MHESLOSS": []}
+    losses = {"MHLOSS": [], "MHESLOSS": [], "MHHYLOSS": []}
     for pid, p in enumerate(procs):
         out, err = p.communicate(timeout=300)
         if p.returncode != 0:
@@ -176,7 +268,9 @@ def parent(args):
         assert all(abs(v - vals[0]) < 1e-6 for v in vals), (key, vals)
     print(f"dryrun_multihost ok: {args.processes} processes x "
           f"{args.local_devices} devices, dp_loss={losses['MHLOSS'][0]:.6f} "
-          f"edge_sharded_loss={losses['MHESLOSS'][0]:.6f}")
+          f"edge_sharded_loss={losses['MHESLOSS'][0]:.6f} "
+          f"hybrid_dpxedge_loss={losses['MHHYLOSS'][0]:.6f}"
+          " (hybrid == its single-device control, asserted in-child)")
 
 
 def main():
