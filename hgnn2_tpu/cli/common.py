@@ -167,6 +167,7 @@ def build_model(cfg: TrainConfig, kind: str):
             hidden=m.n_features, n_layers=m.n_layers, dim_output=dim_output,
             compat_contractions=m.compat_contractions,
             vertex_chunks=m.vertex_chunks,
+            pallas_kernel=bool(m.ccn_kernel),
         )
     raise ValueError(f"unknown arch {m.arch!r}")
 
@@ -246,6 +247,20 @@ def run_experiment(cfg: TrainConfig):
         return variables, history
 
     use_packed = cfg.model.packed and cfg.model.arch in ("gnn", "lggnn")
+    if cfg.model.arch == "ccn2d" and cfg.model.ccn_kernel is None:
+        # auto: the fused Pallas kernel measures 3.3x the XLA step at the
+        # flagship QM9 shape; it unrolls over K (<= 8) and needs every
+        # graph inside its +-128-row halo window
+        import jax
+
+        k_max = max((r.max_degree() + 1 for r in train_recs), default=99)
+        n_max = max((r.n_nodes for r in train_recs), default=0)
+        on_tpu = jax.default_backend() not in ("cpu",)
+        cfg.model.ccn_kernel = bool(on_tpu and k_max <= 8 and n_max <= 129)
+        if cfg.model.ccn_kernel:
+            log.info("ccn2d: fused Pallas kernel enabled (K=%d, max "
+                     "graph %d nodes); --no_ccn_kernel for the XLA path",
+                     k_max, n_max)
     model = (build_packed_model(cfg, kind, bn_axis=None) if use_packed
              else build_model(cfg, kind))
 
@@ -380,6 +395,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--no_scan", action="store_true",
                    help="dispatch each optimizer step separately instead "
                         "of scanning whole epochs in one program")
+    p.add_argument("--ccn_kernel", action="store_true", default=None,
+                   dest="ccn_kernel",
+                   help="ccn2d: force the fused promotion+18-contraction "
+                        "Pallas kernel (default: auto on TPU when K<=8 "
+                        "and graphs <=129 nodes)")
+    p.add_argument("--no_ccn_kernel", action="store_false",
+                   dest="ccn_kernel", help="ccn2d: force the XLA path")
     p.add_argument("--gru", action="store_true",
                    help="gnn: gated node-state update in every layer "
                         "(reference --gru, models/layers/layers_mnb.py:38)")
@@ -410,6 +432,7 @@ def config_from_args(args, arch: str, dataset: str) -> TrainConfig:
     cfg.model.J = args.J
     cfg.model.compat_reference = args.compat_reference
     cfg.model.gru = getattr(args, "gru", False)
+    cfg.model.ccn_kernel = getattr(args, "ccn_kernel", None)
     cfg.model.packed = getattr(args, "packed", False)
     cfg.data.dataset = dataset
     cfg.data.data_path = args.data_path

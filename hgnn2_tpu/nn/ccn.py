@@ -257,9 +257,15 @@ class CCN2D(nn.Module):
     Linear + ReLU. compat_contractions reproduces the reference's
     duplicated contraction channels (contraction.py:70-81).
 
-    Three execution strategies for the promotion memory, identical by test:
+    Four execution strategies for the promotion memory, identical by test:
+      * pallas_kernel=True — ONE Pallas kernel per layer computes the
+        promotion and all 18 contractions with the vertex batch packed
+        onto lanes (ops/pallas/ccn_fused.py); T is never materialized and
+        the kernel measures ~4.6x the XLA forward at the flagship shape
+        (V~12k, K=5). TPU only (interpret=True for CPU tests); K <= 8;
+        requires every graph <= kernel_halo + 1 vertices;
       * default — materialize the (V, K, K, K, C) promotion tensor; the
-        gather-form custom VJP applies (fastest at small/medium K);
+        gather-form custom VJP applies (fastest XLA path at small K);
       * scan_promotion=True — fuse promotion with the 18 contractions via
         a lax.scan over neighbor slots: no contraction needs the full 4-D
         T, so live memory is O(V K^2 C) and the rematerialized scan body
@@ -275,6 +281,9 @@ class CCN2D(nn.Module):
     compat_contractions: bool = False
     vertex_chunks: int = 1
     scan_promotion: bool = False
+    pallas_kernel: bool = False
+    kernel_halo: int = 128  # max graph size the kernel window covers
+    interpret: bool = False  # Pallas interpreter mode (CPU tests)
 
     @nn.compact
     def __call__(self, cb: CCNBatch, train: bool = True) -> jnp.ndarray:
@@ -286,7 +295,16 @@ class CCN2D(nn.Module):
                 self.hidden, kernel_init=ref_init(), bias_init=ref_init(),
                 name=f"w{i+1}",
             )
-            if self.scan_promotion:
+            if self.pallas_kernel:
+                from hgnn2_tpu.ops.pallas import ccn_fused
+
+                z = ccn_fused.promote_contract_18_pallas(
+                    cb.chi_idx, cb.nbr, f, cb.deg, cb.row_mask,
+                    rslot=cb.rslot, compat=self.compat_contractions,
+                    halo=self.kernel_halo, interpret=self.interpret,
+                )  # (V, K, K, 18C), one kernel, T never materialized
+                f = nn.relu(dense(z)) * mask2[..., None]
+            elif self.scan_promotion:
                 z = contractions.promote_contract_18_fused(
                     cb.chi_idx, cb.nbr, f, cb.deg, cb.row_mask,
                     compat=self.compat_contractions,

@@ -292,6 +292,84 @@ def promote_contract_18_fused(
                            axis=-1)
 
 
+def contract_18_transpose(
+    g: jnp.ndarray, deg: jnp.ndarray, row_mask: jnp.ndarray,
+    compat: bool = False,
+) -> jnp.ndarray:
+    """Adjoint of contract_18 as closed forms: g (V, K, K, 18C) ->
+    gbar (V, K, K, K, C) with <contract_18(t), g> == <t, gbar> for all t.
+
+    contract_18 is linear in t (deg/row_mask enter as constants), so its
+    VJP is this fixed linear map; writing it explicitly keeps the fused
+    kernel's backward at ONE pass over gbar instead of a jax.vjp replay of
+    the forward. Verified against jax.vjp(contract_18) in tests/test_ccn.py.
+    """
+    V, K = g.shape[0], g.shape[1]
+    C = g.shape[-1] // 18
+    gs = [g[..., i * C : (i + 1) * C] for i in range(18)]
+    n = deg.astype(g.dtype)[:, None, None, None]
+    m = row_mask.astype(g.dtype)
+
+    def unbcast(gi):  # adjoint of bcast: (V, K, K, C)[i, y] -> (V, K, C)[i]
+        return (gi * m[:, None, :, None]).sum(axis=2)
+
+    def undiag(gi):  # adjoint of diag_embed -> (V, C)
+        return jnp.einsum("vyyc->vc", gi * m[:, :, None, None])
+
+    eye = jnp.eye(K, dtype=g.dtype)
+    if compat:
+        # mid channels were [c6] + [c1] * 9
+        g_c1 = gs[0] + sum(gs[6:15])
+        g_c6 = gs[5]
+        g_c8 = g_c10 = g_c11 = g_c12 = g_c13 = g_c14 = g_c15 = None
+    else:
+        g_c1 = gs[0] + gs[6]  # c7 == c1
+        g_c6 = gs[5] + gs[8]  # c9 == c6
+        g_c8, g_c10, g_c11, g_c12 = gs[7], gs[9], gs[10], gs[11]
+        g_c13, g_c14, g_c15 = gs[12], gs[13], gs[14]
+
+    # rb[k,a] = sum_b T[k,a,b] receives: n*g_c1, g_c6, sum_y m g2[k,y],
+    # (over a) sum_y m g4[a,y], and c12's swapped read g12[a,k]
+    d_rb = n * g_c1 + g_c6 + unbcast(gs[1])[:, :, None, :]
+    d_rb = d_rb + unbcast(gs[3])[:, None, :, :]  # skb -> [a] indexed ax 2
+    if g_c12 is not None:
+        d_rb = d_rb + jnp.swapaxes(g_c12, 1, 2)
+    # diag_embed channels: c14's sum_kkb = sum_k rb[k,k] reaches only rb's
+    # diagonal; c5's tot = sum_{k,a} rb[k,a] reaches every rb entry
+    if g_c14 is not None:
+        d_rb = d_rb + eye[None, :, :, None] * undiag(g_c14)[:, None, None, :]
+    d_rb = d_rb + undiag(gs[4])[:, None, None, :]
+
+    # sk[a,b] = sum_k T receives n*g3 (+ g10 + g13 non-compat)
+    d_sk = n * gs[2]
+    if g_c10 is not None:
+        d_sk = d_sk + g_c10 + g_c13
+
+    # diag_aa[k,a] = T[k,a,a] receives c16 (+ bcast'd c8, diag c15, c18)
+    d_diag = gs[15]
+    if g_c8 is not None:
+        d_diag = d_diag + unbcast(g_c8)[:, :, None, :]
+        d_diag = d_diag + undiag(g_c15)[:, None, None, :]
+    d_diag = d_diag + (
+        eye[None, :, :, None] * undiag(gs[17])[:, None, None, :]
+    )  # t_xxx = sum_k diag_aa[k,k]
+
+    # t_kak[a,k] = T[k,a,k] receives c17 (+ bcast'd c11 over [a])
+    d_kak = gs[16]
+    if g_c11 is not None:
+        d_kak = d_kak + unbcast(g_c11)[:, :, None, :]
+
+    # assemble gbar[v,k,a,b,c]
+    gbar = d_sk[:, None, :, :, :] * jnp.ones((1, K, 1, 1, 1), g.dtype)
+    gbar = gbar + d_rb[:, :, :, None, :]  # rb spreads over b
+    ab_eye = eye[None, None, :, :, None]
+    gbar = gbar + ab_eye * d_diag[:, :, :, None, :]  # onto b == a
+    bk_eye = eye[:, None, :]  # [k, 1, b]
+    gbar = gbar + bk_eye[None, :, :, :, None] * jnp.swapaxes(
+        d_kak, 1, 2)[:, :, :, None, :]  # d_kak[a,k] onto [k,a,b=k]
+    return gbar
+
+
 def promote_1d_onehot(chi: jnp.ndarray, nbr: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
     """Reference-faithful one-hot 1D promotion (chi @ F as an einsum).
 

@@ -35,6 +35,10 @@ class ModelConfig:
     compat_reference: bool = False
     compat_contractions: bool = False  # ccn2d
     vertex_chunks: int = 1  # ccn2d: chunk vertices to bound promotion memory
+    # ccn2d: fused promotion+18-contraction Pallas kernel (3.3x the XLA
+    # step at the flagship QM9 shape). None = auto: on for TPU backends
+    # when K <= 8 and every graph fits the kernel's halo window.
+    ccn_kernel: bool | None = None
     # gnn/lggnn: train the packed segment-sum twin (PackedGNN/PackedLGGNN
     # over PackedLoader batches) instead of dense blocks — the
     # bandwidth-right layout at small h (indices, not one-hot matrices).
