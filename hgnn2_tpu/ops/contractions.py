@@ -292,18 +292,19 @@ def promote_contract_18_fused(
                            axis=-1)
 
 
-def contract_18_transpose(
+def contract_18_transpose_parts(
     g: jnp.ndarray, deg: jnp.ndarray, row_mask: jnp.ndarray,
     compat: bool = False,
-) -> jnp.ndarray:
-    """Adjoint of contract_18 as closed forms: g (V, K, K, 18C) ->
-    gbar (V, K, K, K, C) with <contract_18(t), g> == <t, gbar> for all t.
+):
+    """The adjoint of contract_18 decomposed into four per-vertex tensors
+    (each (V, K, K, C)) such that
 
-    contract_18 is linear in t (deg/row_mask enter as constants), so its
-    VJP is this fixed linear map; writing it explicitly keeps the fused
-    kernel's backward at ONE pass over gbar instead of a jax.vjp replay of
-    the forward. Verified against jax.vjp(contract_18) in tests/test_ccn.py.
-    """
+      gbar[v,k,a,b] = d_sk[v,a,b] + d_rb[v,k,a]
+                      + delta_ab * d_diag[v,k,a] + delta_kb * d_kakT[v,k,a]
+
+    This factorization is what the fused backward kernel windows and
+    gathers per neighbor (ops/pallas/ccn_fused.py) — O(K^2 C) data per
+    vertex instead of gbar's O(K^3 C)."""
     V, K = g.shape[0], g.shape[1]
     C = g.shape[-1] // 18
     gs = [g[..., i * C : (i + 1) * C] for i in range(18)]
@@ -359,14 +360,31 @@ def contract_18_transpose(
     if g_c11 is not None:
         d_kak = d_kak + unbcast(g_c11)[:, :, None, :]
 
-    # assemble gbar[v,k,a,b,c]
+    return d_sk, d_rb, d_diag, jnp.swapaxes(d_kak, 1, 2)
+
+
+def contract_18_transpose(
+    g: jnp.ndarray, deg: jnp.ndarray, row_mask: jnp.ndarray,
+    compat: bool = False,
+) -> jnp.ndarray:
+    """Adjoint of contract_18 as closed forms: g (V, K, K, 18C) ->
+    gbar (V, K, K, K, C) with <contract_18(t), g> == <t, gbar> for all t.
+
+    contract_18 is linear in t (deg/row_mask enter as constants), so its
+    VJP is this fixed linear map; writing it explicitly keeps the fused
+    kernel's backward at ONE pass over gbar instead of a jax.vjp replay of
+    the forward. Verified against jax.vjp(contract_18) in tests.
+    """
+    K = g.shape[1]
+    d_sk, d_rb, d_diag, d_kakT = contract_18_transpose_parts(
+        g, deg, row_mask, compat=compat)
+    eye = jnp.eye(K, dtype=g.dtype)
     gbar = d_sk[:, None, :, :, :] * jnp.ones((1, K, 1, 1, 1), g.dtype)
     gbar = gbar + d_rb[:, :, :, None, :]  # rb spreads over b
     ab_eye = eye[None, None, :, :, None]
     gbar = gbar + ab_eye * d_diag[:, :, :, None, :]  # onto b == a
     bk_eye = eye[:, None, :]  # [k, 1, b]
-    gbar = gbar + bk_eye[None, :, :, :, None] * jnp.swapaxes(
-        d_kak, 1, 2)[:, :, :, None, :]  # d_kak[a,k] onto [k,a,b=k]
+    gbar = gbar + bk_eye[None, :, :, :, None] * d_kakT[:, :, :, None, :]
     return gbar
 
 

@@ -186,6 +186,92 @@ def _kernel(nbr_ref, chi_ref, mask_ref, deg_ref, f_any, out_ref, fw, sem,
         out_ref[idx * kkc : (idx + 1) * kkc, :] = ch.reshape(kkc, VB)
 
 
+def _bwd_kernel(nbr_ref, chi_ref, rslot_ref, d_any, out_ref, dw, sem,
+                *, K: int, C: int, VB: int, halo: int, Vp: int):
+    """df[u,p,q,c] = sum_j gbar[nbr[u,j], rslot[u,j], chi[u,j,p],
+    chi[u,j,q], c] with gbar factored per neighbor n as
+
+      gbar[n,k,a,b] = d_sk[n,a,b] + d_rb[n,k,a]
+                      + delta_ab d_diag[n,k,a] + delta_kb d_kakT[n,k,a]
+
+    (contract_18_transpose_parts) — so each neighbor contributes O(K^2 C)
+    data fetched by the same windowed one-hot matmul as the forward, and
+    the chi/rslot indexing is per-lane select-accumulate. The promotion
+    transpose IS a gather (chi symmetry, ops/contractions.py:88), which is
+    what makes this single-pass form possible."""
+    W = VB + 2 * halo
+    i = pl.program_id(0)
+    start = jnp.clip(i * VB - halo, 0, Vp - W)
+    start = pl.multiple_of(start, math.gcd(VB, halo))
+    cp = pltpu.make_async_copy(d_any.at[:, pl.ds(start, W)], dw, sem)
+    cp.start()
+    cp.wait()
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, VB), 0)
+    f32 = jnp.float32
+    kkc = K * K * C
+
+    df = jnp.zeros((K, K, C, VB), f32)
+    for j in range(K):
+        nbr_loc = nbr_ref[j, :] - start
+        oh = (iota_w == nbr_loc[None, :]).astype(f32)
+        sel = jax.lax.dot_general(
+            dw[:], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (4*kkc(+pad), VB): neighbor's four adjoint tensors, per lane
+        dsk = sel[0 * kkc : 1 * kkc].reshape(K, K, C, VB)   # [a, b]
+        drb = sel[1 * kkc : 2 * kkc].reshape(K, K, C, VB)   # [k, a]
+        ddg = sel[2 * kkc : 3 * kkc].reshape(K, K, C, VB)   # [k, a]
+        dkk = sel[3 * kkc : 4 * kkc].reshape(K, K, C, VB)   # [k, a]
+
+        rj = rslot_ref[j, :]  # (VB,) int32, -1 at padding
+        # (1, VB) masks right-align against both (K, C, VB) and (C, VB)
+        vj = (rj >= 0).astype(f32)[None, :]
+        rsel = [(rj == x).astype(f32)[None, :] for x in range(K)]
+        cj = [chi_ref[j * K + p, :] for p in range(K)]  # (VB,) each
+        asel = [
+            [(cj[p] == x).astype(f32)[None, :] for x in range(K)]
+            for p in range(K)
+        ]
+
+        # rslot-select k out of the three [k, a] tensors -> (K[a], C, VB)
+        rb_r = sum(rsel[x] * drb[x] for x in range(K))
+        diag_r = sum(rsel[x] * ddg[x] for x in range(K))
+        kak_r = sum(rsel[x] * dkk[x] for x in range(K))
+
+        # chi-select both sides of d_sk: t1[p, q] = dsk[chi_p, chi_q]
+        e1 = jnp.stack([
+            sum(asel[p][x] * dsk[x] for x in range(K)) for p in range(K)
+        ])  # (K[p], K[b], C, VB)
+        t1 = jnp.stack([
+            sum(asel[q][y] * e1[:, y] for y in range(K)) for q in range(K)
+        ], axis=1)  # (K[p], K[q], C, VB)
+
+        t2 = [sum(asel[p][x] * rb_r[x] for x in range(K))
+              for p in range(K)]  # per p: (C, VB)
+        sdg = [sum(asel[p][x] * diag_r[x] for x in range(K))
+               for p in range(K)]
+        skk = [sum(asel[p][x] * kak_r[x] for x in range(K))
+               for p in range(K)]
+        eq_rq = [(cj[q] == rj).astype(f32)[None, :] for q in range(K)]
+        # the d_rb term does not depend on q, so invalid q slots must be
+        # gated explicitly (every other term is zeroed by its q-select)
+        qv = [(cj[q] >= 0).astype(f32)[None, :] for q in range(K)]
+
+        contrib = jnp.stack([
+            jnp.stack([
+                t1[p, q] + qv[q] * t2[p]
+                + (cj[p] == cj[q]).astype(f32)[None, :] * sdg[p]
+                + eq_rq[q] * skk[p]
+                for q in range(K)
+            ])
+            for p in range(K)
+        ])  # (K[p], K[q], C, VB)
+        df = df + vj * contrib
+    out_ref[:] = df.reshape(kkc, VB)
+
+
 def _pad_lanes(x, vp, fill):
     v = x.shape[-1]
     if v == vp:
@@ -270,6 +356,73 @@ def fused_contract_forward(
     return z.reshape(vp, K, K, 18 * C)[:V].astype(f.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "compat", "halo", "block_v", "interpret"))
+def fused_contract_backward(
+    chi_idx: jnp.ndarray,
+    rslot: jnp.ndarray,
+    nbr: jnp.ndarray,
+    g: jnp.ndarray,
+    deg: jnp.ndarray,
+    row_mask: jnp.ndarray,
+    compat: bool = False,
+    halo: int = 128,
+    block_v: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """df for the fused op, one pallas_call: equals
+    _promote_2d_bwd(contract_18_transpose(g)) without materializing the
+    (V, K, K, K, C) gbar. The four O(K^2 C)-per-vertex adjoint tensors are
+    precomputed in XLA (one elementwise pass over g); the kernel windows
+    them per vertex block and applies the per-neighbor rslot/chi selects.
+    g: (V, K, K, 18C). Returns (V, K, K, C)."""
+    V, K = g.shape[0], g.shape[1]
+    C = g.shape[-1] // 18
+    VB = block_v
+    W = VB + 2 * halo
+    vp = max(-(-V // VB) * VB, W)
+    f32 = jnp.float32
+    kkc = K * K * C
+
+    parts = contractions.contract_18_transpose_parts(
+        g.astype(f32), deg, row_mask, compat=compat)
+    d_all = jnp.concatenate(
+        [p.reshape(V, kkc) for p in parts], axis=1)  # (V, 4*kkc)
+    rows8 = -(-(4 * kkc) // 8) * 8
+    dT = jnp.pad(d_all.T, ((0, rows8 - 4 * kkc), (0, 0)))
+    dT = _pad_lanes(dT, vp, 0.0)
+    nbrT = _pad_lanes(nbr.astype(jnp.int32).T, vp, 0)
+    chiT = _pad_lanes(
+        chi_idx.astype(jnp.int32).reshape(V, K * K).T, vp, -1)
+    rslotT = _pad_lanes(rslot.astype(jnp.int32).T, vp, -1)
+
+    kernel = functools.partial(
+        _bwd_kernel, K=K, C=C, VB=VB, halo=halo, Vp=vp)
+    dfT = pl.pallas_call(
+        kernel,
+        grid=(vp // VB,),
+        in_specs=[
+            pl.BlockSpec((K, VB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * K, VB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, VB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((kkc, VB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kkc, vp), f32),
+        scratch_shapes=[
+            pltpu.VMEM((rows8, W), f32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(nbrT, chiT, rslotT, dT)
+    df = dfT.reshape(K, K, C, vp).transpose(3, 0, 1, 2)
+    return df[:V].astype(g.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _op(config, chi_idx, rslot, nbr, f, deg, row_mask):
     compat, halo, block_v, interpret = config
@@ -285,13 +438,10 @@ def _op_fwd(config, chi_idx, rslot, nbr, f, deg, row_mask):
 
 def _op_bwd(config, res, g):
     chi_idx, rslot, nbr, deg, row_mask = res
-    compat = config[0]
-    # adjoint of the 18 contractions (one pass, closed form) ...
-    gbar = contractions.contract_18_transpose(g, deg, row_mask,
-                                              compat=compat)
-    # ... then the gather-form promotion transpose (same cost as a
-    # promotion forward — ops/contractions.py:88)
-    df = contractions._promote_2d_bwd((chi_idx, rslot, nbr), gbar)[3]
+    compat, halo, block_v, interpret = config
+    df = fused_contract_backward(
+        chi_idx, rslot, nbr, g, deg, row_mask, compat=compat, halo=halo,
+        block_v=block_v, interpret=interpret)
     return (None, None, None, df, None, None)
 
 

@@ -91,6 +91,24 @@ def test_gradient_matches_xla_path(batch):
                                atol=1e-4 * scale, rtol=1e-4)
 
 
+@pytest.mark.parametrize("compat", [False, True])
+def test_backward_kernel_matches_xla_closed_forms(batch, compat):
+    """fused_contract_backward == gbar assembly + gather-form promotion
+    transpose (the XLA closed forms), including padding slots."""
+    cb = batch
+    rng = np.random.default_rng(5)
+    V, K = cb.chi_idx.shape[0], cb.chi_idx.shape[1]
+    g = jnp.asarray(
+        rng.standard_normal((V, K, K, 36)).astype(np.float32))
+    gbar = C.contract_18_transpose(g, cb.deg, cb.row_mask, compat=compat)
+    want = C._promote_2d_bwd((cb.chi_idx, cb.rslot, cb.nbr), gbar)[3]
+    got = ccn_fused.fused_contract_backward(
+        cb.chi_idx, cb.rslot, cb.nbr, g, cb.deg, cb.row_mask,
+        compat=compat, halo=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_ccn2d_model_kernel_equals_default(batch):
     """CCN2D(pallas_kernel=True) == the default materialized path, full
     forward through both layers and the readout."""
