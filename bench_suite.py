@@ -134,8 +134,17 @@ def main():
     cb = ccn_mod.make_ccn_batch(records[:ccn_bs], k_max=5, task=0,
                                 vertex_capacity=1 + 12 * ccn_bs)
     for name, model, key in [
-        ("ccn1d L20", ccn_mod.CCN1D(hidden=2, n_layers=20), "ccn1d_molecules_per_s"),
-        ("ccn2d L2", ccn_mod.CCN2D(hidden=2, n_layers=2), "ccn2d_molecules_per_s"),
+        # the shipped defaults on TPU: fused promotion+contraction Pallas
+        # kernels (cli auto-enables them at K<=8); the XLA rows
+        # (--no_ccn_kernel) stay for the ratio
+        ("ccn1d L20 kernel", ccn_mod.CCN1D(hidden=2, n_layers=20, pallas_kernel=True),
+         "ccn1d_molecules_per_s"),
+        ("ccn1d L20 xla", ccn_mod.CCN1D(hidden=2, n_layers=20),
+         "ccn1d_xla_molecules_per_s"),
+        ("ccn2d L2 kernel", ccn_mod.CCN2D(hidden=2, n_layers=2, pallas_kernel=True),
+         "ccn2d_molecules_per_s"),
+        ("ccn2d L2 xla", ccn_mod.CCN2D(hidden=2, n_layers=2),
+         "ccn2d_xla_molecules_per_s"),
     ]:
         state = _train_state(model, cb, lr=1e-3)
         step = train_lib.make_multi_train_step("regression", 0.0, 1.0,
@@ -146,6 +155,38 @@ def main():
         log(f"{name}: {per_step*1e3:.2f} ms/step ({ccn_bs} molecules/step)")
         results[key] = ccn_bs / per_step
         results[key.replace("molecules_per_s", "steps_per_s")] = 1.0 / per_step
+    results["ccn2d_kernel_speedup_vs_xla"] = (
+        results["ccn2d_molecules_per_s"] / results["ccn2d_xla_molecules_per_s"])
+    results["ccn1d_kernel_speedup_vs_xla"] = (
+        results["ccn1d_molecules_per_s"] / results["ccn1d_xla_molecules_per_s"])
+
+    # --- fused kernel at its K=8 boundary (random graphs, max degree 7) -
+    rng8 = np.random.default_rng(11)
+    recs8 = []
+    for _ in range(256):
+        n8 = int(rng8.integers(10, 17))
+        a = np.zeros((n8, n8), np.float32)
+        for u in range(n8):  # degree-capped random graph: max degree 7
+            for v_ in rng8.permutation(n8)[:3]:
+                if u != v_ and a[u].sum() < 7 and a[v_].sum() < 7:
+                    a[u, v_] = a[v_, u] = 1.0
+        recs8.append(graphs.GraphRecord(
+            x=rng8.standard_normal((n8, 3)).astype(np.float32), adj=a,
+            y=np.float32(0.1)))
+    cb8 = ccn_mod.make_ccn_batch(recs8, task=None, vertex_capacity=4096)
+    results["ccn2d_K8_K"] = int(cb8.nbr.shape[1])
+    for label, model in [
+        ("kernel_", ccn_mod.CCN2D(hidden=2, n_layers=2, pallas_kernel=True)),
+        ("xla_", ccn_mod.CCN2D(hidden=2, n_layers=2)),
+    ]:
+        state = _train_state(model, cb8, lr=1e-3)
+        step = train_lib.make_multi_train_step("regression", 0.0, 1.0,
+                                               n_inner=N_INNER)
+        state, timing = profiling.time_scan_steps(step, state, cb8,
+                                                  steps=max(3, steps // 3))
+        per_step = timing.per_step_s / N_INNER
+        log(f"ccn2d K=8 {label}step: {per_step*1e3:.2f} ms")
+        results[f"ccn2d_K8_{label}steps_per_s"] = 1.0 / per_step
 
     # --- CCN-2D at high K (dense synthetic graphs) ----------------------
     # The regime of exp_ccn2_col.sh where the reference's per-vertex python
@@ -163,6 +204,21 @@ def main():
     cbk = ccn_mod.make_ccn_batch(dense_recs, vertex_capacity=n_dense * n_graphs)
     K_high = int(cbk.nbr.shape[1])
     results["ccn2d_highK_K"] = K_high
+    # the fused kernel refuses K > 8 by design: its chi application is an
+    # unrolled per-lane select-accumulate costing O(K^2) vector ops per
+    # (block, k) — at K~30 that is ~2 * 30^3 = 54k VPU ops per block vs
+    # ~250 at K=5, past where the select form can win; the scan path's
+    # O(V K^2 C) memory bound is what matters in this regime. Recorded so
+    # the K boundary is a measured artifact, not a silent cap.
+    try:
+        from hgnn2_tpu.ops.pallas import ccn_fused as _cf
+
+        _cf.fused_contract_forward(cbk.chi_idx, cbk.nbr,
+                                   jnp.zeros(cbk.chi_idx.shape + (2,)),
+                                   cbk.deg, cbk.row_mask)
+        results["ccn2d_highK_kernel"] = "unexpectedly ran"
+    except ValueError as e:
+        results["ccn2d_highK_kernel"] = f"refused: {e}"
     for label, model in [
         # materialized 4-D T + gather-form promotion VJP (see nn/ccn.py)
         ("", ccn_mod.CCN2D(hidden=2, n_layers=2)),

@@ -45,6 +45,28 @@ def load_records(cfg: TrainConfig):
         # explicit request for the QM9-shaped generator (benchmarking /
         # smoke runs) — same records as the qm9 fallback, minus the warning
         recs = qm9.synthetic_qm9_like(d.n_synthetic, seed=cfg.seed)
+        if d.oracle_features:
+            # control experiment: per-node features whose node sums are
+            # exactly the generator's target mix inputs (scripts/
+            # regression_floor.py structural_features) — the pipeline
+            # should train to the least-squares floor on these
+            from hgnn2_tpu.graphs import GraphRecord
+
+            recs = [
+                GraphRecord(
+                    x=np.concatenate([
+                        r.x,
+                        np.ones((r.n_nodes, 1), np.float32),
+                        (r.adj.sum(1, keepdims=True) / 2.0).astype(
+                            np.float32),
+                        ((r.adj == 2.0).sum(1, keepdims=True) / 2.0
+                         ).astype(np.float32),
+                    ], axis=1),
+                    adj=r.adj, y=r.y,
+                )
+                for r in recs
+            ]
+            log.info("oracle features appended (control run)")
         log.info("generated %d synthetic QM9-shaped molecules", len(recs))
         return recs, "regression", stats.compute_target_stats(recs), "synthetic_qm9_like"
     if d.data_path and os.path.isfile(d.data_path):
@@ -160,7 +182,8 @@ def build_model(cfg: TrainConfig, kind: str):
         )
     if m.arch == "ccn1d":
         return ccn_mod.CCN1D(
-            hidden=m.n_features, n_layers=m.n_layers, dim_output=dim_output
+            hidden=m.n_features, n_layers=m.n_layers, dim_output=dim_output,
+            pallas_kernel=bool(m.ccn_kernel),
         )
     if m.arch == "ccn2d":
         return ccn_mod.CCN2D(
@@ -247,10 +270,10 @@ def run_experiment(cfg: TrainConfig):
         return variables, history
 
     use_packed = cfg.model.packed and cfg.model.arch in ("gnn", "lggnn")
-    if cfg.model.arch == "ccn2d" and cfg.model.ccn_kernel is None:
-        # auto: the fused Pallas kernel measures 3.3x the XLA step at the
-        # flagship QM9 shape; it unrolls over K (<= 8) and needs every
-        # graph inside its +-128-row halo window
+    if cfg.model.arch in ("ccn1d", "ccn2d") and cfg.model.ccn_kernel is None:
+        # auto: the fused Pallas kernels (15.4x the XLA CCN-2D step at
+        # the flagship QM9 shape) unroll over K (<= 8) and need every
+        # graph inside their +-128-row halo window
         import jax
 
         k_max = max((r.max_degree() + 1 for r in train_recs), default=99)
@@ -258,9 +281,9 @@ def run_experiment(cfg: TrainConfig):
         on_tpu = jax.default_backend() not in ("cpu",)
         cfg.model.ccn_kernel = bool(on_tpu and k_max <= 8 and n_max <= 129)
         if cfg.model.ccn_kernel:
-            log.info("ccn2d: fused Pallas kernel enabled (K=%d, max "
+            log.info("%s: fused Pallas kernel enabled (K=%d, max "
                      "graph %d nodes); --no_ccn_kernel for the XLA path",
-                     k_max, n_max)
+                     cfg.model.arch, k_max, n_max)
     model = (build_packed_model(cfg, kind, bn_axis=None) if use_packed
              else build_model(cfg, kind))
 

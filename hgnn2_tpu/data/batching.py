@@ -185,6 +185,14 @@ class PackedLoader:
     sort: bool = True
     shuffle: bool = False
     seed: int = 0
+    # ONE (node, edge) capacity for the whole epoch (the max batch load,
+    # bucketed) instead of per-batch bucketing: every batch then shares
+    # one compiled program and the scanned-epoch path stacks the epoch
+    # into ONE bucket group (the per-batch ladder fragmented packed
+    # epochs into ~30 scan groups, paying ~15x dense's dispatch count —
+    # round-4 BENCH_DETAILS scanned_bucket_groups). Padding waste is
+    # bounded by the sorted batches' load spread (QM9: <= ~25%).
+    uniform_caps: bool = True
     _epoch: int = 0
 
     def __iter__(self) -> Iterator[graphs.PackedGraphBatch]:
@@ -196,18 +204,23 @@ class PackedLoader:
         if self.sort:
             sizes = np.array([self.records[i].n_nodes for i in idx])
             idx = idx[np.argsort(sizes, kind="stable")]
-        for s in range(0, len(idx), self.batch_size):
-            chunk = [self.records[i] for i in idx[s : s + self.batch_size]]
-            vcap = pad_to_bucket(
-                sum(r.n_nodes for r in chunk), _PACKED_BUCKETS
-            )
-            ecap = pad_to_bucket(
-                sum(r.n_dir_edges for r in chunk), _PACKED_BUCKETS
-            )
+        chunks = [
+            [self.records[i] for i in idx[s : s + self.batch_size]]
+            for s in range(0, len(idx), self.batch_size)
+        ]
+        caps = [
+            (sum(r.n_nodes for r in c), sum(r.n_dir_edges for r in c))
+            for c in chunks
+        ]
+        if self.uniform_caps and caps:
+            vmax = max(v for v, _ in caps)
+            emax = max(e for _, e in caps)
+            caps = [(vmax, emax)] * len(chunks)
+        for chunk, (v, e) in zip(chunks, caps):
             yield graphs.make_packed_batch(
                 chunk,
-                node_capacity=vcap,
-                edge_capacity=ecap,
+                node_capacity=pad_to_bucket(v, _PACKED_BUCKETS),
+                edge_capacity=pad_to_bucket(e, _PACKED_BUCKETS),
                 task=self.task,
                 batch_size=self.batch_size,
             )

@@ -225,6 +225,11 @@ class CCN1D(nn.Module):
     hidden: int = 2
     n_layers: int = 2
     dim_output: int = 1
+    # fused promotion+contraction Pallas kernel per layer (the 1D sibling
+    # of CCN2D's; ops/pallas/ccn_fused.py). TPU only; K <= 8.
+    pallas_kernel: bool = False
+    kernel_halo: int = 128
+    interpret: bool = False
 
     @nn.compact
     def __call__(self, cb: CCNBatch, train: bool = True) -> jnp.ndarray:
@@ -232,8 +237,16 @@ class CCN1D(nn.Module):
         f = cb.x[:, None, :] * cb.row_mask[:, :, None]  # (V, K, F)
         layer_sums = [self._readout(f, cb)]
         for i in range(self.n_layers):
-            t = contractions.promote_1d(cb.chi_idx, cb.nbr, f, rslot=cb.rslot)
-            z = contractions.contract_1d(t)  # (V, K, 2C)
+            if self.pallas_kernel:
+                from hgnn2_tpu.ops.pallas import ccn_fused
+
+                z = ccn_fused.promote_contract_1d_pallas(
+                    cb.chi_idx, cb.nbr, f, rslot=cb.rslot,
+                    halo=self.kernel_halo, interpret=self.interpret)
+            else:
+                t = contractions.promote_1d(cb.chi_idx, cb.nbr, f,
+                                            rslot=cb.rslot)
+                z = contractions.contract_1d(t)  # (V, K, 2C)
             z = nn.Dense(
                 self.hidden, kernel_init=ref_init(), bias_init=ref_init(),
                 name=f"w{i+1}",

@@ -186,6 +186,89 @@ def _kernel(nbr_ref, chi_ref, mask_ref, deg_ref, f_any, out_ref, fw, sem,
         out_ref[idx * kkc : (idx + 1) * kkc, :] = ch.reshape(kkc, VB)
 
 
+def _kernel_1d(nbr_ref, chi_ref, f_any, out_ref, fw, sem,
+               *, K: int, C: int, VB: int, halo: int, Vp: int):
+    """CCN-1D: promotion T[v,k,a] = F[nbr[v,k], chi[v,k,a]] fused with
+    contract_1d (row = sum_k T[.,a], col = sum_a T[k,.]) — the same
+    windowed one-hot structure as the 2D kernel, one order smaller."""
+    W = VB + 2 * halo
+    i = pl.program_id(0)
+    start = jnp.clip(i * VB - halo, 0, Vp - W)
+    start = pl.multiple_of(start, math.gcd(VB, halo))
+    cp = pltpu.make_async_copy(f_any.at[:, pl.ds(start, W)], fw, sem)
+    cp.start()
+    cp.wait()
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, VB), 0)
+    f32 = jnp.float32
+    kc = K * C
+
+    row = jnp.zeros((K, C, VB), f32)   # [a]: sum_k T[k,a]
+    cols = []                          # [k]: sum_a T[k,a]
+    for k in range(K):
+        nbr_loc = nbr_ref[k, :] - start
+        oh = (iota_w == nbr_loc[None, :]).astype(f32)
+        nk = jax.lax.dot_general(
+            fw[:], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:kc].reshape(K, C, VB)  # [p, c, v] = F[nbr[v,k], p, c]
+        tk = jnp.stack([
+            sum((chi_ref[k * K + a, :] == p).astype(f32)[None, :] * nk[p]
+                for p in range(K))
+            for a in range(K)
+        ])  # (K[a], C, VB)
+        row = row + tk
+        cols.append(sum(tk[a] for a in range(K)))  # (C, VB)
+    col = jnp.stack(cols)  # (K[k], C, VB)
+    out_ref[0 * kc : 1 * kc, :] = row.reshape(kc, VB)
+    out_ref[1 * kc : 2 * kc, :] = col.reshape(kc, VB)
+
+
+def _bwd_kernel_1d(nbr_ref, chi_ref, rslot_ref, g_any, out_ref, gw, sem,
+                   *, K: int, C: int, VB: int, halo: int, Vp: int):
+    """df[u,p] = sum_j [chi[u,j,p] valid] (g_row[n_j][chi[u,j,p]]
+    + g_col[n_j][rslot[u,j]]): the 1D promotion transpose is a gather
+    (chi symmetry), fed by the contract_1d adjoint gbar[k,a] = g_row[a]
+    + g_col[k] evaluated on the fly per neighbor."""
+    W = VB + 2 * halo
+    i = pl.program_id(0)
+    start = jnp.clip(i * VB - halo, 0, Vp - W)
+    start = pl.multiple_of(start, math.gcd(VB, halo))
+    cp = pltpu.make_async_copy(g_any.at[:, pl.ds(start, W)], gw, sem)
+    cp.start()
+    cp.wait()
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, VB), 0)
+    f32 = jnp.float32
+    kc = K * C
+
+    df = jnp.zeros((K, C, VB), f32)
+    for j in range(K):
+        nbr_loc = nbr_ref[j, :] - start
+        oh = (iota_w == nbr_loc[None, :]).astype(f32)
+        sel = jax.lax.dot_general(
+            gw[:], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (2*kc(+pad), VB)
+        g_row = sel[0 * kc : 1 * kc].reshape(K, C, VB)  # [a, c, v]
+        g_col = sel[1 * kc : 2 * kc].reshape(K, C, VB)  # [k, c, v]
+        rj = rslot_ref[j, :]
+        col_r = sum((rj == x).astype(f32)[None, :] * g_col[x]
+                    for x in range(K))  # (C, VB)
+        cj = [chi_ref[j * K + p, :] for p in range(K)]
+        contrib = jnp.stack([
+            sum((cj[p] == x).astype(f32)[None, :] * g_row[x]
+                for x in range(K))
+            + (cj[p] >= 0).astype(f32)[None, :] * col_r
+            for p in range(K)
+        ])  # (K[p], C, VB); chi==x selects gate g_row, the >=0 gate
+        # covers the chi-independent g_col term
+        df = df + contrib
+    out_ref[:] = df.reshape(kc, VB)
+
+
 def _bwd_kernel(nbr_ref, chi_ref, rslot_ref, d_any, out_ref, dw, sem,
                 *, K: int, C: int, VB: int, halo: int, Vp: int):
     """df[u,p,q,c] = sum_j gbar[nbr[u,j], rslot[u,j], chi[u,j,p],
@@ -421,6 +504,153 @@ def fused_contract_backward(
     )(nbrT, chiT, rslotT, dT)
     df = dfT.reshape(K, K, C, vp).transpose(3, 0, 1, 2)
     return df[:V].astype(g.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("halo", "block_v", "interpret"))
+def fused_contract_1d_forward(
+    chi_idx: jnp.ndarray,
+    nbr: jnp.ndarray,
+    f: jnp.ndarray,
+    halo: int = 128,
+    block_v: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """contract_1d(promote_1d(chi_idx, nbr, f)) in one pallas_call.
+    f: (V, K, C). Returns (V, K, 2C) (row sums then col sums on the
+    channel axis, matching ops/contractions.contract_1d)."""
+    V, K = f.shape[0], f.shape[1]
+    C = f.shape[-1]
+    if K > MAX_K:
+        raise ValueError(
+            f"fused 1D kernel unrolls over K={K} > {MAX_K}; use the XLA "
+            "path for high-degree graphs")
+    VB = block_v
+    W = VB + 2 * halo
+    vp = max(-(-V // VB) * VB, W)
+    f32 = jnp.float32
+    kc = K * C
+    rows8 = -(-kc // 8) * 8
+
+    fT = jnp.pad(f.astype(f32).reshape(V, kc).T, ((0, rows8 - kc), (0, 0)))
+    fT = _pad_lanes(fT, vp, 0.0)
+    nbrT = _pad_lanes(nbr.astype(jnp.int32).T, vp, 0)
+    chiT = _pad_lanes(chi_idx.astype(jnp.int32).reshape(V, K * K).T, vp, -1)
+
+    kernel = functools.partial(
+        _kernel_1d, K=K, C=C, VB=VB, halo=halo, Vp=vp)
+    zt = pl.pallas_call(
+        kernel,
+        grid=(vp // VB,),
+        in_specs=[
+            pl.BlockSpec((K, VB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * K, VB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((2 * kc, VB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * kc, vp), f32),
+        scratch_shapes=[
+            pltpu.VMEM((rows8, W), f32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(nbrT, chiT, fT)
+    z = zt.reshape(2, K, C, vp).transpose(3, 1, 0, 2)
+    return z.reshape(vp, K, 2 * C)[:V].astype(f.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("halo", "block_v", "interpret"))
+def fused_contract_1d_backward(
+    chi_idx: jnp.ndarray,
+    rslot: jnp.ndarray,
+    nbr: jnp.ndarray,
+    g: jnp.ndarray,
+    halo: int = 128,
+    block_v: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """df for the fused 1D op. g: (V, K, 2C). Returns (V, K, C)."""
+    V, K = g.shape[0], g.shape[1]
+    C = g.shape[-1] // 2
+    VB = block_v
+    W = VB + 2 * halo
+    vp = max(-(-V // VB) * VB, W)
+    f32 = jnp.float32
+    kc = K * C
+    rows8 = -(-(2 * kc) // 8) * 8
+
+    # channel-split back to (g_row (V, K, C), g_col) and stack as rows
+    gT = g.astype(f32).reshape(V, K, 2, C).transpose(2, 1, 3, 0)
+    gT = gT.reshape(2 * kc, V)
+    gT = _pad_lanes(jnp.pad(gT, ((0, rows8 - 2 * kc), (0, 0))), vp, 0.0)
+    nbrT = _pad_lanes(nbr.astype(jnp.int32).T, vp, 0)
+    chiT = _pad_lanes(chi_idx.astype(jnp.int32).reshape(V, K * K).T, vp, -1)
+    rslotT = _pad_lanes(rslot.astype(jnp.int32).T, vp, -1)
+
+    kernel = functools.partial(
+        _bwd_kernel_1d, K=K, C=C, VB=VB, halo=halo, Vp=vp)
+    dfT = pl.pallas_call(
+        kernel,
+        grid=(vp // VB,),
+        in_specs=[
+            pl.BlockSpec((K, VB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * K, VB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, VB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((kc, VB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kc, vp), f32),
+        scratch_shapes=[
+            pltpu.VMEM((rows8, W), f32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(nbrT, chiT, rslotT, gT)
+    df = dfT.reshape(K, C, vp).transpose(2, 0, 1)
+    return df[:V].astype(g.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _op1d(config, chi_idx, rslot, nbr, f):
+    halo, block_v, interpret = config
+    return fused_contract_1d_forward(
+        chi_idx, nbr, f, halo=halo, block_v=block_v, interpret=interpret)
+
+
+def _op1d_fwd(config, chi_idx, rslot, nbr, f):
+    return _op1d(config, chi_idx, rslot, nbr, f), (chi_idx, rslot, nbr)
+
+
+def _op1d_bwd(config, res, g):
+    chi_idx, rslot, nbr = res
+    halo, block_v, interpret = config
+    df = fused_contract_1d_backward(
+        chi_idx, rslot, nbr, g, halo=halo, block_v=block_v,
+        interpret=interpret)
+    return (None, None, None, df)
+
+
+_op1d.defvjp(_op1d_fwd, _op1d_bwd)
+
+
+def promote_contract_1d_pallas(
+    chi_idx: jnp.ndarray,
+    nbr: jnp.ndarray,
+    f: jnp.ndarray,
+    rslot: jnp.ndarray,
+    halo: int = 128,
+    block_v: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused CCN-1D promotion + contraction. Drop-in for
+    contract_1d(promote_1d(chi_idx, nbr, f, rslot=rslot))."""
+    return _op1d((halo, block_v, interpret), chi_idx, rslot, nbr, f)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

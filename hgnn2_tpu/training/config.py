@@ -54,6 +54,12 @@ class DataConfig:
     spatial: bool = False
     charge: bool = False
     n_synthetic: int = 1000
+    # qm9_synthetic only: append the per-node decompositions of the
+    # generator's exact target features ([1, row bond order/2, row double
+    # bonds/2] — their node sums are the graph features the targets mix),
+    # making the target linearly readable by the sum readout. The quality
+    # CONTROL: the same pipeline should then train to the lstsq floor.
+    oracle_features: bool = False
     n_max: int = 50  # synthetic graph size cap
     dim: int = 5
     p: float = 0.5

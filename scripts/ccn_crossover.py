@@ -29,7 +29,7 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
-def child(k_nodes: int, mode: str):
+def child(k_nodes: int, mode: str, n_graphs: int = 16):
     from hgnn2_tpu import runtime
 
     runtime.setup()
@@ -41,7 +41,6 @@ def child(k_nodes: int, mode: str):
     from hgnn2_tpu.training.config import OptimConfig
     from hgnn2_tpu.training.optim import build_optimizer
 
-    n_graphs = 16
     rng = np.random.default_rng(7)
     recs = []
     for _ in range(n_graphs):
@@ -53,6 +52,9 @@ def child(k_nodes: int, mode: str):
     K = int(cb.nbr.shape[1])
     V = k_nodes * n_graphs
     t_bytes = V * K**3 * 2 * 4  # fwd promotion tensor alone, C=2
+    print(json.dumps({"phase": "built", "K": K, "V": V,
+                      "n_graphs": n_graphs,
+                      "materialized_T_bytes_fwd": t_bytes}), flush=True)
     model = ccn_mod.CCN2D(hidden=2, n_layers=2,
                           scan_promotion=(mode == "scan"))
     tx = build_optimizer(OptimConfig(optim="adamax", lr=1e-3),
@@ -63,11 +65,34 @@ def child(k_nodes: int, mode: str):
                                               warmup=1)
     per_step = timing.per_step_s / 3
     print(json.dumps({
-        "K": K, "V": V, "mode": mode,
+        "K": K, "V": V, "mode": mode, "n_graphs": n_graphs,
         "materialized_T_bytes_fwd": t_bytes,
         "ms_per_step": per_step * 1e3,
         "graphs_per_s": n_graphs / per_step,
     }))
+
+
+_LOG_PREFIXES = ("WARNING", "INFO", "DEBUG", "E0000", "W0000", "I0000",
+                 "=== Source", "learning/")
+
+
+def _failure_evidence(stderr: str):
+    """(best_error_line, traceback_tail): the actual exception text, not
+    the traceback-filtering banner (the round-4 artifacts recorded 'For
+    simplicity, JAX has removed its internal frames...' — useless)."""
+    lines = [ln for ln in stderr.strip().splitlines()
+             if ln.strip() and not ln.startswith(_LOG_PREFIXES)
+             and "For simplicity, JAX has removed" not in ln
+             and "Set JAX_TRACEBACK_FILTERING" not in ln]
+    best = None
+    for pat in ("RESOURCE_EXHAUSTED", "crashed", "restarted",
+                "XlaRuntimeError", "JaxRuntimeError", "INTERNAL",
+                "UNAVAILABLE", "Error"):
+        best = next((ln for ln in reversed(lines) if pat in ln), None)
+        if best:
+            break
+    tail = "\n".join(lines[-12:])
+    return (best or (lines[-1] if lines else "?")).strip()[:400], tail
 
 
 def main():
@@ -75,46 +100,55 @@ def main():
     ap.add_argument("--ks", type=int, nargs="*", default=[64, 80, 88])
     ap.add_argument("--child", type=int, default=None)
     ap.add_argument("--mode", default=None)
+    ap.add_argument("--graphs", type=int, default=16)
     ap.add_argument("--out", default="runs/ccn_crossover")
     args = ap.parse_args()
     if args.child is not None:
-        child(args.child, args.mode)
+        child(args.child, args.mode, args.graphs)
         return
+
+    def run_one(k, mode, n_graphs):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--child", str(k), "--mode", mode, "--graphs", str(n_graphs)],
+            cwd=REPO, capture_output=True, text=True, timeout=1800,
+        )
+        row = {"k_nodes": k, "mode": mode, "n_graphs": n_graphs}
+        parsed = None
+        for line in proc.stdout.splitlines():
+            try:
+                cand = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(cand, dict) and "ms_per_step" in cand:
+                parsed = cand
+            elif isinstance(cand, dict) and cand.get("phase") == "built":
+                row.update({k_: v for k_, v in cand.items()
+                            if k_ != "phase"})
+        if proc.returncode == 0 and parsed:
+            row.update(parsed)
+            print(f"K~{k} {mode} x{n_graphs}: "
+                  f"{parsed['ms_per_step']:.1f} ms/step "
+                  f"(T fwd {parsed['materialized_T_bytes_fwd']/1e9:.1f} GB)",
+                  file=sys.stderr, flush=True)
+        else:
+            err, tail = _failure_evidence(proc.stderr)
+            row["failed"] = err
+            row["traceback_tail"] = tail
+            print(f"K~{k} {mode} x{n_graphs}: FAILED {err[:160]}",
+                  file=sys.stderr, flush=True)
+        return row
 
     rows = []
     for k in args.ks:
         for mode in ("materialized", "scan"):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--child", str(k), "--mode", mode],
-                cwd=REPO, capture_output=True, text=True, timeout=1800,
-            )
-            row = {"k_nodes": k, "mode": mode}
-            parsed = None
-            for line in proc.stdout.splitlines():
-                try:
-                    cand = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if isinstance(cand, dict) and "ms_per_step" in cand:
-                    parsed = cand
-            if proc.returncode == 0 and parsed:
-                row.update(parsed)
-                print(f"K~{k} {mode}: {parsed['ms_per_step']:.1f} ms/step "
-                      f"(T fwd {parsed['materialized_T_bytes_fwd']/1e9:.1f} GB)",
-                      file=sys.stderr, flush=True)
-            else:
-                lines = proc.stderr.strip().splitlines()
-                err = next((ln for ln in lines if "RESOURCE_EXHAUSTED" in ln),
-                           None)
-                if err is None:
-                    err = next((ln for ln in reversed(lines)
-                                if "Error" in ln or "UNAVAILABLE" in ln),
-                               lines[-1] if lines else "?")
-                row["failed"] = err.strip()[:300]
-                print(f"K~{k} {mode}: FAILED {err[:120]}",
-                      file=sys.stderr, flush=True)
+            row = run_one(k, mode, args.graphs)
             rows.append(row)
+            if "failed" in row and args.graphs > 4:
+                # diagnosis probe: does the config survive at half the
+                # batch? memory-proportional failures do; program-size or
+                # tunnel failures do not
+                rows.append(run_one(k, mode, args.graphs // 2))
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "results.json"), "w") as f:
         json.dump({"note": "complete graphs, 16 per batch, CCN2D L=2 h=2; "

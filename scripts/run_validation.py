@@ -57,15 +57,82 @@ def reg_cfg(arch, h, L, lr=1e-3, epochs=120, n=8000, bs=64, order=2):
     return cfg
 
 
+def control_cfg():
+    """The quality CONTROL (VERDICT r4 #4): same flagship GNN regression
+    pipeline, but with the generator's exact target features appended as
+    per-node inputs — the least-squares floor (~0.017 error ratio) is
+    then linearly reachable by the sum readout, so the run must land near
+    it or something other than architecture is eating the gap."""
+    cfg = reg_cfg("gnn", h=64, L=5)
+    cfg.data.oracle_features = True
+    return cfg
+
+
 RUNS = {
     "validation_cls_gnn": lambda: cls_cfg("gnn"),
     "validation_cls_lggnn": lambda: cls_cfg("lggnn", order=2),
     "validation_cls_ccn1d": lambda: cls_cfg("ccn1d"),
     "validation_reg_gnn": lambda: reg_cfg("gnn", h=64, L=5),
+    "validation_reg_gnn_control": control_cfg,
     "validation_reg_lggnn": lambda: reg_cfg("lggnn", h=32, L=4),
     "validation_reg_ccn2d": lambda: reg_cfg(
         "ccn2d", h=6, L=3, lr=1e-3, epochs=200, n=2000, bs=32),
 }
+
+
+def range_split_eval(cfg, state, out_dir):
+    """Decomposes the validation error into in-distribution vs
+    extrapolation: val molecules whose target lies inside the TRAIN
+    target range vs outside it. Writes range_split.json next to the run's
+    final.json (VERDICT r4 #4's second half)."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from hgnn2_tpu.data import batching, synthetic
+
+    records, kind, ts, _ = common.load_records(cfg)
+    tr, va, _te = synthetic.split_80_10_10(
+        records, shuffle=cfg.data.shuffle_split, seed=cfg.seed)
+    task = cfg.data.task
+    y_tr = np.array([r.y[task] for r in tr])
+    lo, hi = float(y_tr.min()), float(y_tr.max())
+    mean = float(ts.mean[task])
+    std = float(ts.std[task])
+    acc = float(ts.accuracy[task])
+
+    model = common.build_model(cfg, kind)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    errs, ys = [], []
+    for b in batching.DenseLoader(va, cfg.batch_size, task=task, sort=True):
+        out = np.asarray(jax.device_get(
+            model.apply(variables, b, train=False)))[:, 0]
+        y = np.asarray(b.y)
+        real = np.asarray(b.n_nodes) > 0
+        errs.append(np.abs(out - (y - mean) / std)[real])
+        ys.append(y[real])
+    errs = np.concatenate(errs)
+    ys = np.concatenate(ys)
+    in_mask = (ys >= lo) & (ys <= hi)
+
+    def ratio(mask):
+        return (float(errs[mask].mean() / acc) if mask.any() else None)
+
+    out = {
+        "train_target_range": [lo, hi],
+        "val_count": int(len(ys)),
+        "val_in_range_count": int(in_mask.sum()),
+        "val_out_of_range_count": int((~in_mask).sum()),
+        "val_error_ratio_overall": float(errs.mean() / acc),
+        "val_error_ratio_in_range": ratio(in_mask),
+        "val_error_ratio_out_of_range": ratio(~in_mask),
+    }
+    path = os.path.join(out_dir, "range_split.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(f"=== range split: {out}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -89,11 +156,13 @@ def main():
             shutil.rmtree(cfg.log_path)  # fresh, complete artifact
         print(f"=== {name} ({cfg.model.arch}, {cfg.epochs} epochs)",
               file=sys.stderr, flush=True)
-        _, history = common.run_experiment(cfg)
+        state, history = common.run_experiment(cfg)
         assert len(history) == cfg.epochs, (name, len(history))
         print(f"=== {name} final: "
               f"{ {k: round(v, 4) for k, v in history[-1].items()} }",
               file=sys.stderr, flush=True)
+        if name in ("validation_reg_gnn", "validation_reg_gnn_control"):
+            range_split_eval(cfg, state, cfg.log_path)
 
 
 if __name__ == "__main__":

@@ -123,6 +123,57 @@ def test_ccn2d_model_kernel_equals_default(batch):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_1d_forward_matches_xla_closed_forms(batch):
+    cb = batch
+    rng = np.random.default_rng(7)
+    V, K = cb.chi_idx.shape[0], cb.chi_idx.shape[1]
+    f = jnp.asarray(rng.standard_normal((V, K, 3)).astype(np.float32)
+                    * np.asarray(cb.row_mask)[:, :, None])
+    want = C.contract_1d(C.promote_1d(cb.chi_idx, cb.nbr, f))
+    got = ccn_fused.fused_contract_1d_forward(
+        cb.chi_idx, cb.nbr, f, halo=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_1d_gradient_matches_xla_path(batch):
+    cb = batch
+    rng = np.random.default_rng(8)
+    V, K = cb.chi_idx.shape[0], cb.chi_idx.shape[1]
+    f0 = jnp.asarray(rng.standard_normal((V, K, 2)).astype(np.float32)
+                     * np.asarray(cb.row_mask)[:, :, None])
+    w = jnp.asarray(rng.standard_normal((V, K, 4)).astype(np.float32))
+
+    def loss_ref(f):
+        z = C.contract_1d(C.promote_1d(cb.chi_idx, cb.nbr, f,
+                                       rslot=cb.rslot))
+        return (z * w).sum()
+
+    def loss_ker(f):
+        z = ccn_fused.promote_contract_1d_pallas(
+            cb.chi_idx, cb.nbr, f, rslot=cb.rslot, halo=32,
+            interpret=True)
+        return (z * w).sum()
+
+    g_ref = jax.grad(loss_ref)(f0)
+    g_ker = jax.grad(loss_ker)(f0)
+    scale = float(jnp.abs(g_ref).max())
+    np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_ref),
+                               atol=1e-4 * scale, rtol=1e-4)
+
+
+def test_ccn1d_model_kernel_equals_default(batch):
+    cb = batch
+    base = ccn_mod.CCN1D(hidden=3, n_layers=3)
+    fused = ccn_mod.CCN1D(hidden=3, n_layers=3, pallas_kernel=True,
+                          kernel_halo=32, interpret=True)
+    variables = base.init(jax.random.key(0), cb, train=True)
+    out_base = base.apply(variables, cb, train=True)
+    out_fused = fused.apply(variables, cb, train=True)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_base),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_kernel_rejects_high_k():
     with pytest.raises(ValueError, match="scan path"):
         K = ccn_fused.MAX_K + 1
