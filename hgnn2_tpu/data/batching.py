@@ -173,11 +173,16 @@ class PackedLoader:
 
     Operator applications read int32 index arrays (4 B/edge) instead of
     the dense path's one-hot scatter matrices (4*N bytes/edge) — but TPU
-    scatters process rows serially, so at molecule scale this layout
-    MEASURES SLOWER than the dense one-hot MXU path (RESULTS.md,
-    runs/profile_lggnn). Its role is the scaling layout (molecule-aligned
-    sharding via --edge_shards) and the layout for graphs too large for
-    dense blocks. Compose with CachedLoader exactly like DenseLoader."""
+    scatters process rows serially, so on ONE chip at molecule scale this
+    layout loses to the dense one-hot MXU path at EVERY width measured
+    (runs/packed_crossover: dense/packed epoch ratio 11.4x at GNN h=1
+    narrowing to 3.5x at h=64; LGGNN 4.7x -> 2.2x — the gather cost
+    amortizes over width but never crosses by h=64). Its role is the
+    scaling layout (molecule-aligned sharding via --edge_shards) and the
+    layout for graphs too large for dense blocks. uniform_caps (default)
+    keeps the whole epoch one compiled program — consolidating the
+    capacity ladder's ~16-30 scan bucket groups to 1 measured 2.0x faster
+    packed epochs. Compose with CachedLoader exactly like DenseLoader."""
 
     records: Sequence[GraphRecord]
     batch_size: int
