@@ -425,6 +425,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "and graphs <=129 nodes)")
     p.add_argument("--no_ccn_kernel", action="store_false",
                    dest="ccn_kernel", help="ccn2d: force the XLA path")
+    p.add_argument("--bn_recalib", action="store_true",
+                   help="after training, re-estimate BN running stats as "
+                        "the average over all train batches (the "
+                        "reference EMA weights the last batch 90%%) and "
+                        "re-run the final eval; makes eval independent "
+                        "of last-batch order")
     p.add_argument("--gru", action="store_true",
                    help="gnn: gated node-state update in every layer "
                         "(reference --gru, models/layers/layers_mnb.py:38)")
@@ -466,4 +472,5 @@ def config_from_args(args, arch: str, dataset: str) -> TrainConfig:
     cfg.data.cache_batches = not getattr(args, "no_cache", False)
     cfg.data.redeal_every = getattr(args, "redeal_every", 0)
     cfg.scan_epochs = not getattr(args, "no_scan", False)
+    cfg.bn_recalibrate = getattr(args, "bn_recalib", False)
     return cfg

@@ -95,6 +95,17 @@ class TrainConfig:
     # packed-model scaling mode with zero comm per operator apply
     # (training/sharded.py). Mutually exclusive with dp.
     edge_shards: int = 1
+    # after training, replace the BN running statistics (an EMA that puts
+    # 90% of its weight on the LAST train batch — reference
+    # batch_normalization.py:37-38) with the average of every train
+    # batch's own statistics, then re-run the final eval. Makes eval
+    # deterministic wrt last-batch order; measured ~neutral on the
+    # synthetic-regression val error (10.1 vs 9.7 — fixed statistics of
+    # ANY kind sit at ~10 there, while per-batch adaptive stats reach
+    # 3.9: runs/validation_reg_gnn_control/diagnosis.json). fit() path
+    # only (dense/DP/CCN); the edge-sharded trainer keeps reference
+    # semantics.
+    bn_recalibrate: bool = False
     # run each epoch's optimizer steps inside one lax.scan per bucket group
     # (a few dispatches per epoch instead of one per step — the win on
     # remote-attached chips). Applies when batches are cached and no mesh

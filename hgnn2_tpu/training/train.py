@@ -349,6 +349,84 @@ def evaluate(state, loader, eval_fn):
     return {k: v / max(total, 1.0) for k, v in sums.items()}
 
 
+def make_bn_recalibration(momentum: float = 0.1):
+    """Returns run(state, stacked) -> (stat_sums, n_batches): one compiled
+    pass over a stacked bucket group collecting each batch's OWN BN
+    statistics (see recalibrate_bn)."""
+    scale = 1.0 / (1.0 - momentum)
+
+    @jax.jit
+    def run(state: TrainState, stacked):
+        n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.batch_stats)
+        zstate = state.replace(batch_stats=zeros)
+
+        def body(carry, i):
+            batch = jax.tree_util.tree_map(lambda x: x[i], stacked)
+            # with running stats zeroed, the EMA update
+            # new = (1-m)*batch + m*0 returns (1-m)*batch_stat exactly
+            _, upd = _forward(zstate, state.params, batch, train=True)
+            carry = jax.tree_util.tree_map(
+                lambda c, u: c + u * scale, carry, upd)
+            return carry, None
+
+        sums, _ = jax.lax.scan(body, zeros, jnp.arange(n))
+        return sums, n
+
+    return run
+
+
+def recalibrate_bn(state: TrainState, groups=None, loader=None,
+                   momentum: float = 0.1) -> TrainState:
+    """Replaces the BN running statistics with the AVERAGE of every train
+    batch's own statistics.
+
+    The reference's running-stat update (batch_normalization.py:37-38,
+    running <- (1-momentum)*batch + momentum*running with momentum=0.1) is
+    an EMA that puts 90% of its weight on the LAST batch seen — so
+    eval-mode normalization is essentially one batch's statistics, making
+    eval metrics swing with whichever batch a shuffled epoch ended on.
+    This pass removes that dependence the standard way (BN re-estimation,
+    as used after stochastic weight averaging): one train-mode forward
+    pass per batch, each batch's own mean/std recovered from the EMA
+    update (divide by 1-momentum against zeroed stats), averaged
+    uniformly across batches.
+
+    Measured effect on the synthetic regression (runs/
+    validation_reg_gnn_recal vs _reg_gnn): ~neutral on the val error
+    ratio (10.1 vs 9.7) — fixed statistics of ANY kind sit at ~10 there
+    while per-batch adaptive (train-mode) statistics reach 3.9, i.e. the
+    val multiple the diagnosis found is BN batch-ADAPTIVITY, not stale
+    stats (runs/validation_reg_gnn_control/diagnosis.json). The value of
+    this pass is determinism/stability of eval, not accuracy.
+
+    groups: stacked bucket groups (the scanned-epoch layout) — one
+    compiled scan per group; loader: any iterable of batches (stepwise
+    path). Exactly one of the two must be given. No-op without BN state.
+    """
+    if not state.batch_stats:
+        return state
+    recal = make_bn_recalibration(momentum)
+    totals = None
+    count = 0
+    if groups is not None:
+        sources = groups
+    else:
+        # per-batch path: lift each batch to a 1-step stacked group so the
+        # same compiled body serves both layouts
+        sources = (jax.tree_util.tree_map(lambda x: x[None], b)
+                   for b in loader)
+    for stacked in sources:
+        sums, n = recal(state, stacked)
+        totals = (sums if totals is None else
+                  jax.tree_util.tree_map(jnp.add, totals, sums))
+        count += int(n)
+    if totals is None or count == 0:
+        return state
+    new_stats = jax.tree_util.tree_map(lambda t: t / count, totals)
+    return state.replace(batch_stats=new_stats)
+
+
 def fit(
     model,
     make_loader,
@@ -488,4 +566,32 @@ def fit(
                 log.warning("stopping after epoch %d (signal); resume with "
                             "cfg.resume", epoch + 1)
                 break
+    if getattr(cfg, "bn_recalibrate", False) and state.batch_stats:
+        state = recalibrate_bn(
+            state,
+            groups=scan_groups,
+            loader=None if scan_groups is not None else train_loader,
+        )
+        row = dict(history[-1]) if history else {}
+        for split in ("valid", "test"):
+            loader = eval_loaders[split]
+            if split in eval_groups:
+                split_m = evaluate_scanned(
+                    state, eval_groups[split], scan_eval_fn)
+            elif loader is not None and len(loader) > 0:
+                split_m = evaluate(state, loader, eval_step)
+            else:
+                continue
+            for k, v in split_m.items():
+                row[f"{split}_{k}"] = v
+                if k == "mae" and accuracy:
+                    row[f"{split}_error_ratio"] = v / accuracy
+        row["bn_recalibrated"] = 1.0
+        log.info("bn recalibrated over %d train batches: %s",
+                 steps_per_epoch,
+                 {k: round(v, 4) for k, v in row.items()
+                  if k.startswith(("valid_", "test_"))})
+        history.append(row)
+        if logger is not None:
+            logger.log_epoch(cfg.epochs + 1, **row)
     return state, history

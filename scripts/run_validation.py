@@ -68,12 +68,26 @@ def control_cfg():
     return cfg
 
 
+def recal_cfg(base):
+    """base cfg + post-training BN re-estimation (--bn_recalib): the
+    diagnosis (runs/validation_reg_gnn_control/diagnosis.json) measured
+    the reference's last-batch-dominated BN running stats as a 2.5x val
+    multiple; these rows measure how much the averaged-stats fix
+    recovers."""
+    cfg = base()
+    cfg.bn_recalibrate = True
+    return cfg
+
+
 RUNS = {
     "validation_cls_gnn": lambda: cls_cfg("gnn"),
     "validation_cls_lggnn": lambda: cls_cfg("lggnn", order=2),
     "validation_cls_ccn1d": lambda: cls_cfg("ccn1d"),
     "validation_reg_gnn": lambda: reg_cfg("gnn", h=64, L=5),
     "validation_reg_gnn_control": control_cfg,
+    "validation_reg_gnn_recal": lambda: recal_cfg(
+        lambda: reg_cfg("gnn", h=64, L=5)),
+    "validation_reg_gnn_control_recal": lambda: recal_cfg(control_cfg),
     "validation_reg_lggnn": lambda: reg_cfg("lggnn", h=32, L=4),
     "validation_reg_ccn2d": lambda: reg_cfg(
         "ccn2d", h=6, L=3, lr=1e-3, epochs=200, n=2000, bs=32),
@@ -157,7 +171,8 @@ def main():
         print(f"=== {name} ({cfg.model.arch}, {cfg.epochs} epochs)",
               file=sys.stderr, flush=True)
         state, history = common.run_experiment(cfg)
-        assert len(history) == cfg.epochs, (name, len(history))
+        want = cfg.epochs + (1 if cfg.bn_recalibrate else 0)
+        assert len(history) == want, (name, len(history))
         print(f"=== {name} final: "
               f"{ {k: round(v, 4) for k, v in history[-1].items()} }",
               file=sys.stderr, flush=True)

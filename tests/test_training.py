@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from hgnn2_tpu.data import batching, qm9, synthetic
 from hgnn2_tpu.nn import ccn as ccn_mod
@@ -227,3 +228,82 @@ def test_reset_each_epoch_runs():
     )
     _, history = train_lib.fit(model, make, cfg)
     assert len(history) == 2
+
+
+def test_bn_recalibration_matches_batch_average():
+    """recalibrate_bn replaces running stats with the uniform average of
+    every batch's OWN statistics, identically through the stacked-group
+    and per-batch paths."""
+    recs = qm9.synthetic_qm9_like(48, seed=7)
+    loader = batching.CachedLoader(
+        batching.DenseLoader(recs, 16, task=0, sort=True, shuffle=False),
+        shuffle=False,
+    )
+    loader.materialize()
+    model = models.GNNSimple(n_features=3, n_layers=3, dim_output=1)
+    tx = optim_lib.build_optimizer(OptimConfig(optim="sgd", lr=1e-3),
+                                   steps_per_epoch=len(loader))
+    sample = next(iter(loader))
+    state = train_lib.TrainState.create(model, sample, tx, jax.random.key(1))
+    # a couple of real steps so params/stats are not at init
+    step = train_lib.make_train_step("regression", 0.0, 1.0)
+    for b in loader:
+        state, _ = step(state, b)
+
+    # oracle: each batch's own stats via a zeroed-EMA apply (momentum 0.1
+    # -> update against zeros returns 0.9 * batch_stat), averaged
+    batches = list(loader)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, state.batch_stats)
+    per_batch = []
+    for b in batches:
+        _, upd = model.apply(
+            {"params": state.params, "batch_stats": zeros}, b, train=True,
+            mutable=["batch_stats"])
+        per_batch.append(jax.tree_util.tree_map(
+            lambda u: u / 0.9, upd["batch_stats"]))
+    want = jax.tree_util.tree_map(
+        lambda *xs: sum(np.asarray(x) for x in xs) / len(xs), *per_batch)
+
+    got_loader = train_lib.recalibrate_bn(state, loader=batches)
+    groups = train_lib.group_stacked_batches(loader.batches())
+    got_groups = train_lib.recalibrate_bn(state, groups=groups)
+
+    for path, got in (("loader", got_loader), ("groups", got_groups)):
+        flat_want = jax.tree_util.tree_leaves(want)
+        flat_got = jax.tree_util.tree_leaves(got.batch_stats)
+        assert len(flat_want) == len(flat_got)
+        for w, g in zip(flat_want, flat_got):
+            np.testing.assert_allclose(np.asarray(g), w, rtol=1e-5,
+                                       atol=1e-6, err_msg=path)
+    # stats actually changed (the EMA was dominated by the last batch)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.batch_stats),
+                        jax.tree_util.tree_leaves(got_groups.batch_stats)))
+
+
+def test_fit_bn_recalibrate_end_to_end():
+    """cfg.bn_recalibrate appends a recalibrated final-eval row and keeps
+    metrics finite, through both the scanned and stepwise fit paths."""
+    recs = qm9.synthetic_qm9_like(80, seed=9)
+    tr, va, te = synthetic.split_80_10_10(recs)
+
+    def make(split):
+        inner = batching.DenseLoader(
+            {"train": tr, "valid": va, "test": te}[split], 16, task=0,
+            sort=True, shuffle=False)
+        return batching.CachedLoader(inner, shuffle=False)
+
+    for scan in (True, False):
+        cfg = TrainConfig(batch_size=16, epochs=2)
+        cfg.optim = OptimConfig(optim="adamax", lr=1e-3)
+        cfg.scan_epochs = scan
+        cfg.bn_recalibrate = True
+        model = models.GNNSimple(n_features=2, n_layers=3, dim_output=1)
+        state, history = train_lib.fit(
+            model, make, cfg, kind="regression", mean=0.0, std=1.0,
+            accuracy=0.1)
+        assert history[-1].get("bn_recalibrated") == 1.0
+        assert len(history) == cfg.epochs + 1
+        for k in ("valid_mae", "test_mae", "valid_error_ratio"):
+            assert np.isfinite(history[-1][k]), (scan, k)
