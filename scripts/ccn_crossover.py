@@ -151,9 +151,14 @@ def main():
                 rows.append(run_one(k, mode, args.graphs // 2))
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "results.json"), "w") as f:
-        json.dump({"note": "complete graphs, 16 per batch, CCN2D L=2 h=2; "
-                           "each config in its own process (OOM can crash "
-                           "the remote TPU worker)",
+        json.dump({"note": "complete graphs, CCN2D L=2 h=2; each config in "
+                           "its own process (OOM can crash the remote TPU "
+                           "worker). Failed configs retry at half batch: a "
+                           "survival there shows the failure is memory-"
+                           "proportional, not program-size/tunnel. "
+                           "'failed' carries the actual exception line; "
+                           "traceback_tail the last 12 lines (compile OOMs "
+                           "end in the HLO temp-allocation dump).",
                    "rows": rows}, f, indent=2)
         f.write("\n")
     print(json.dumps(rows))
