@@ -35,6 +35,13 @@ def main(argv=None):
     p.add_argument("--update", type=int, default=1)
     p.add_argument("--task", type=int, default=0)
     p.add_argument("--bs", type=int, default=256, help="serving bucket: batch")
+    p.add_argument("--buckets", default=None,
+                   help="comma list of EXTRA batch-slot counts to export "
+                        "alongside --bs (e.g. 16,2048). predict() routes "
+                        "each chunk to the largest bucket the remaining "
+                        "request fills — one dispatch round trip instead "
+                        "of many for large requests (packed/ccn "
+                        "capacities scale proportionally)")
     p.add_argument("--n_max", type=int, default=32, help="serving bucket: nodes")
     p.add_argument("--m_max", type=int, default=None,
                    help="serving bucket: directed edges (lggnn)")
@@ -99,17 +106,25 @@ def main(argv=None):
                 )
     is_ccn = args.arch.startswith("ccn")
     task = args.task if kind == "regression" else None
+    extra_bs = ([int(s) for s in args.buckets.split(",") if s.strip()]
+                if args.buckets else [])
     if args.packed:
         # edge-sharded training checkpoints hold packed-model params
         model = common.build_packed_model(cfg, kind)
-        node_cap = args.node_cap or sum(
-            r.n_nodes for r in records[: args.bs]) + 8
-        edge_cap = args.edge_cap or sum(
-            r.n_dir_edges for r in records[: args.bs]) + 8
-        sample = graphs.make_packed_batch(
-            records[: args.bs], node_capacity=node_cap,
-            edge_capacity=edge_cap, batch_size=args.bs, task=task,
-        )
+
+        def packed_sample(b):
+            # explicit caps scale proportionally with the bucket
+            nc = (max(8, args.node_cap * b // args.bs) if args.node_cap
+                  else sum(r.n_nodes for r in records[:b]) + 8)
+            ec = (max(8, args.edge_cap * b // args.bs) if args.edge_cap
+                  else sum(r.n_dir_edges for r in records[:b]) + 8)
+            return graphs.make_packed_batch(
+                records[:b], node_capacity=nc, edge_capacity=ec,
+                batch_size=b, task=task,
+            )
+
+        samples = [packed_sample(b) for b in [args.bs] + extra_bs]
+        sample = samples[0]
         restored = common.restore_packed_checkpoint(
             args.ckpt, model, sample, cfg.optim)
         if restored is None:
@@ -118,16 +133,35 @@ def main(argv=None):
     else:
         model = common.build_model(cfg, kind)
         if is_ccn:
-            sample = next(iter(batching.CCNLoader(records, args.bs, task=task)))
+            if extra_bs:
+                # multi-bucket export: all buckets must share K, so build
+                # every sample at the dataset-wide receptive field
+                from hgnn2_tpu.nn import ccn as ccn_mod
+
+                k_all = max(r.max_degree() for r in records) + 1
+                samples = [
+                    ccn_mod.make_ccn_batch(
+                        records[:b], k_max=k_all,
+                        vertex_capacity=sum(
+                            r.n_nodes for r in records[:b]) + 8,
+                        task=task, batch_size=b)
+                    for b in [args.bs] + extra_bs
+                ]
+            else:
+                samples = [next(iter(
+                    batching.CCNLoader(records, args.bs, task=task)))]
         else:
             with_lg = args.arch == "lggnn"
             m_max = args.m_max
             if with_lg and m_max is None:
                 m_max = max(r.n_dir_edges for r in records)
-            sample = graphs.make_dense_batch(
-                records[: args.bs], n_max=args.n_max, m_max=m_max,
-                batch_size=args.bs, with_line_graph=with_lg, task=task,
-            )
+            samples = [
+                graphs.make_dense_batch(
+                    records[:b], n_max=args.n_max, m_max=m_max,
+                    batch_size=b, with_line_graph=with_lg, task=task)
+                for b in [args.bs] + extra_bs
+            ]
+        sample = samples[0]
 
         tx = build_optimizer(cfg.optim, steps_per_epoch=1)
         state = train_lib.TrainState.create(model, sample, tx,
@@ -141,7 +175,10 @@ def main(argv=None):
             variables["batch_stats"] = state.batch_stats
     log.info("restored checkpoint at epoch %d", epoch)
     platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
-    exported = serving.export_model(model, variables, sample, platforms=platforms)
+    exported = [serving.export_model(model, variables, s,
+                                     platforms=platforms) for s in samples]
+    if len(exported) == 1:
+        exported = exported[0]
 
     mean = float(tstats.mean[args.task]) if tstats is not None else 0.0
     std = float(tstats.std[args.task]) if tstats is not None else 1.0

@@ -176,3 +176,114 @@ def test_packed_predict_rejects_oversized_record(tmp_path, records):
     assert big, "fixture should contain records above the tiny bucket"
     with pytest.raises(ValueError, match="packed capacities"):
         sm.predict(big)
+
+
+# ---- multi-bucket bundles (round 5): chunk-to-bucket routing ----------
+
+def _counting_programs(sm):
+    """Wrap each bucket program with a call counter keyed by slot count."""
+    counts = {}
+
+    def wrap(spec, jitted):
+        key = serving.ServingModel._slots(spec)
+
+        def call(arrays, _j=jitted, _k=key):
+            counts[_k] = counts.get(_k, 0) + 1
+            return _j(arrays)
+
+        return spec, call
+
+    sm._programs = [wrap(*p) for p in sm._programs]
+    return counts
+
+
+def test_dense_multi_bucket_routing(tmp_path, records):
+    model = models.GNNSimple(n_features=2, n_layers=3, J=1)
+    mk = lambda b: graphs.make_dense_batch(
+        records[:b], n_max=32, batch_size=b, task=0)
+    variables = model.init(jax.random.key(0), mk(4), train=False)
+    exps = [serving.export_model(model, variables, mk(b),
+                                 platforms=("cpu",)) for b in (4, 16)]
+    serving.save_bundle(str(tmp_path / "b"), exps, kind="dense", task=0,
+                        mean=1.0, std=2.0)
+    sm = serving.load_bundle(str(tmp_path / "b"))
+    assert len(sm._programs) == 2
+    counts = _counting_programs(sm)
+    # 21 records -> fill the 16-bucket, then ONE padded 16-call for the
+    # 5-record tail (one round trip beats two 4-slot calls)
+    out = sm.predict(records)
+    assert counts == {16: 2}
+    counts.clear()
+    out3 = sm.predict(records[:3])  # small request -> the small bucket
+    assert counts == {4: 1}
+    np.testing.assert_allclose(out3, out[:3], rtol=1e-5, atol=1e-5)
+
+    # single-bucket bundle serves identical values (eval-mode forward is
+    # per-record; only the chunking differs)
+    serving.save_bundle(str(tmp_path / "s"), exps[0], kind="dense", task=0,
+                        mean=1.0, std=2.0)
+    ref = serving.load_bundle(str(tmp_path / "s")).predict(records)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_packed_multi_bucket_routing(tmp_path, records):
+    from hgnn2_tpu.nn import packed as packed_mod
+
+    caps = {4: (80, 160), 16: (320, 640)}
+    mk = lambda b: graphs.make_packed_batch(
+        records[:b], node_capacity=caps[b][0], edge_capacity=caps[b][1],
+        batch_size=b, task=0)
+    model = packed_mod.PackedGNN(n_features=2, n_layers=3, J=1)
+    variables = model.init(jax.random.key(1), mk(4), train=False)
+    exps = [serving.export_model(model, variables, mk(b),
+                                 platforms=("cpu",)) for b in (16, 4)]
+    serving.save_bundle(str(tmp_path / "b"), exps, kind="packed", task=0)
+    sm = serving.load_bundle(str(tmp_path / "b"))
+    counts = _counting_programs(sm)
+    reqs = records[:18]  # 16-slot head chunk + 2-record tail
+    out = sm.predict(reqs)
+    assert len(out) == len(reqs)
+    assert np.isfinite(out).all()
+    # the big bucket served the head, the small bucket the tail
+    assert counts == {16: 1, 4: 1}
+
+    serving.save_bundle(str(tmp_path / "s"), exps[0], kind="packed", task=0)
+    ref = serving.load_bundle(str(tmp_path / "s")).predict(reqs)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_ccn_multi_bucket_routing(tmp_path, records):
+    k_all = max(r.max_degree() for r in records) + 1
+    mk = lambda b: ccn_mod.make_ccn_batch(
+        records[:b], k_max=k_all,
+        vertex_capacity=sum(r.n_nodes for r in records[:b]) + 8,
+        task=0, batch_size=b)
+    model = ccn_mod.CCN1D(hidden=2, n_layers=2)
+    variables = model.init(jax.random.key(2), mk(4), train=False)
+    exps = [serving.export_model(model, variables, mk(b),
+                                 platforms=("cpu",)) for b in (4, 16)]
+    serving.save_bundle(str(tmp_path / "b"), exps, kind="ccn", task=0)
+    sm = serving.load_bundle(str(tmp_path / "b"))
+    counts = _counting_programs(sm)
+    out = sm.predict(records)
+    assert len(out) == len(records) and np.isfinite(out).all()
+    assert counts.get(16, 0) >= 1
+
+    serving.save_bundle(str(tmp_path / "s"), exps[0], kind="ccn", task=0)
+    ref = serving.load_bundle(str(tmp_path / "s")).predict(records)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_multi_bucket_mismatched_specs_rejected(tmp_path, records):
+    model = models.GNNSimple(n_features=2, n_layers=3, J=1)
+    small = [r for r in records if r.n_nodes <= 16]
+    mk = lambda recs, b, n: graphs.make_dense_batch(
+        recs[:b], n_max=n, batch_size=b, task=0)
+    variables = model.init(jax.random.key(0), mk(records, 4, 32),
+                           train=False)
+    e32 = serving.export_model(model, variables, mk(records, 4, 32),
+                               platforms=("cpu",))
+    e16 = serving.export_model(model, variables, mk(small, 8, 16),
+                               platforms=("cpu",))
+    with pytest.raises(ValueError, match="capacity dim"):
+        serving.save_bundle(str(tmp_path / "b"), [e32, e16], kind="dense")
