@@ -175,14 +175,18 @@ class PackedLoader:
     the dense path's one-hot scatter matrices (4*N bytes/edge) — but TPU
     scatters process rows serially, so on ONE chip at molecule scale this
     layout loses to the dense one-hot MXU path at EVERY width measured
-    (runs/packed_crossover: dense/packed epoch ratio 11.4x at GNN h=1
-    narrowing to 3.5x at h=64; LGGNN 4.7x -> 2.2x — the gather cost
+    (runs/packed_crossover: dense/packed epoch ratio 11.9x at GNN h=1
+    narrowing to 4.1x at h=64; LGGNN 4.8x -> 2.2x — the gather cost
     amortizes over width but never crosses by h=64). Its role is the
     scaling layout (molecule-aligned sharding via --edge_shards) and the
     layout for graphs too large for dense blocks. uniform_caps (default)
-    keeps the whole epoch one compiled program — consolidating the
-    capacity ladder's ~16-30 scan bucket groups to 1 measured 2.0x faster
-    packed epochs. Compose with CachedLoader exactly like DenseLoader."""
+    keeps the whole epoch ONE compiled program; the measured tradeoff vs
+    the per-batch capacity ladder (GNN h=1, 32k molecules): 24 s compile
+    + 0.47 s/epoch uniform vs 176 s compile + 0.23 s/epoch across 16
+    ladder programs — uniform wins runs shorter than ~600 epochs on a
+    cold compile cache, the ladder wins with a warm one (set
+    uniform_caps=False). Compose with CachedLoader exactly like
+    DenseLoader."""
 
     records: Sequence[GraphRecord]
     batch_size: int
